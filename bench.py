@@ -1,0 +1,86 @@
+"""Benchmark: audio-driven talking-head rendering throughput on one chip.
+
+Measures the shipped DFA-NeRF inference path (BASELINE config 3): per frame,
+encode audio+expression+pose signals, then volume-render the head field and
+the head+torso composite at 450x450 with 64 samples/ray and background
+concat — the same work run_nerf_com_trainExpLater.py:590-734 does with ~99
+host-looped 2048-ray chunks per frame.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/30}
+vs_baseline is against the 30 fps north-star target (the reference repo
+publishes no numbers — BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.config import ExperimentConfig, RenderConfig, TrainConfig
+    from dfanerf_tpu.data import make_synthetic_dataset
+    from dfanerf_tpu.render.renderer import encode_frame_signals, make_frame_renderer
+    from dfanerf_tpu.train import dataset_to_device, init_train_state
+
+    H = W = 450
+    n_frames_bench = 20
+    cfg = ExperimentConfig(
+        render=RenderConfig(n_samples=64, tile_rays=8192, concate_bg=True),
+        train=TrainConfig(),
+    )
+    # tiny synthetic dataset only to supply poses/signals/background at 450p
+    ds = make_synthetic_dataset(n_frames=8, H=H, W=W, n_samples_gt=8)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    data = dataset_to_device(ds)
+
+    render = make_frame_renderer(cfg, ds.hwfcxy, ds.near, ds.far)
+    sig_fn = jax.jit(
+        lambda p, i: encode_frame_signals(
+            p, data["auds"], data["exps"], data["poses"], i,
+            data["auds"].shape[0], cfg, True,
+        )
+    )
+
+    def frame(i):
+        sig, sig_t = sig_fn(state["params"], jnp.int32(i % ds.n_frames))
+        rgb_head, rgb_com = render(
+            state["params"], state["z_shape"], state["z_app"],
+            data["poses"][i % ds.n_frames], data["poses"][0],
+            sig, sig_t, data["bc_img"],
+        )
+        return rgb_com
+
+    # warmup / compile
+    frame(0).block_until_ready()
+
+    t0 = time.time()
+    out = None
+    for i in range(n_frames_bench):
+        out = frame(i)
+    out.block_until_ready()
+    dt = time.time() - t0
+
+    fps = n_frames_bench / dt
+    mrays = fps * H * W / 1e6  # rays/frame through the 2-field pipeline
+    result = {
+        "metric": "450x450 audio-driven head+torso render (64 samples/ray, 2 fields)",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 4),
+        "extra": {
+            "Mrays_per_sec_per_chip": round(mrays, 3),
+            "device": str(jax.devices()[0]),
+            "n_frames": n_frames_bench,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

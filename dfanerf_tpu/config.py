@@ -1,0 +1,143 @@
+"""Unified dataclass configuration system.
+
+Replaces the reference's three config stacks (configargparse with ~90 flags
+in run_nerf_com_trainExpLater.py:235-436, the yacs tree in face-alignment,
+and UNFaceFlow's Options classes) with one typed hierarchy. Field defaults
+reproduce the SHIPPED configuration (scripts/train_obama.sh) — the parity
+target — not the argparse defaults.
+
+Configs are frozen dataclasses → hashable → usable as jit static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+from dfanerf_tpu.models.decoder import DecoderConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Volume rendering options (reference flags: --N_samples, --N_importance,
+    --last_dist, --concate_bg, --chunk)."""
+
+    n_samples: int = 64
+    n_importance: int = 0  # shipped run is coarse-only; >0 enables fine pass
+    last_dist: float = 1e10
+    concate_bg: bool = True
+    tile_rays: int = 8192  # rays per renderer tile (replaces --chunk loops)
+    near: float = 0.3
+    far: float = 0.9
+
+
+@dataclasses.dataclass(frozen=True)
+class SignalConfig:
+    """Conditioning-signal options (--dim_aud, --dim_signal, --smo_size,
+    --smo_torse_size, --win_size, --use_et_embed, --nosmo_iters,
+    --noexp_iters)."""
+
+    dim_aud: int = 96          # audio(64) + expression(32) concat
+    dim_signal: int = 96
+    smo_size: int = 4          # audio/exp attention window
+    smo_torso_size: int = 8    # pose attention window
+    win_size: int = 16         # DeepSpeech window (legacy AudioNet path)
+    use_et_embed: bool = True
+    et_multires: int = 3       # -> dim_et_embed 42
+    nosmo_iters: int = 300_000
+    noexp_iters: int = 400_000
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training options (shipped train_obama.sh values)."""
+
+    n_rand: int = 2048
+    n_iters: int = 600_000
+    lrate: float = 5e-4
+    lrate_decay: int = 500      # lr * 0.1^(step / (lrate_decay * 1500))
+    sample_rate: float = 0.0    # rect-biased ray sampling fraction (0 = uniform)
+    n_object: int = 1
+    z_dim: int = 256
+    i_print: int = 100
+    i_weights: int = 100_000
+    i_test_person: int = 10_000
+    use_l1: bool = False
+    train_together: bool = True
+    perturb: bool = False       # stratified jitter (reference shipped: off)
+    seed: int = 0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    """Top-level experiment: composition of all subsystem configs."""
+
+    expname: str = "experiment"
+    datadir: str = ""
+    basedir: str = "runs"
+    decoder: DecoderConfig = DecoderConfig()
+    render: RenderConfig = RenderConfig()
+    signal: SignalConfig = SignalConfig()
+    train: TrainConfig = TrainConfig()
+    use_ba: bool = True
+    aud_file: str = "aud.pt"
+    exp_file: str = "exp.pt"
+    all_speaker: bool = True
+    testskip: int = 1
+
+    @staticmethod
+    def from_json(path: str) -> "ExperimentConfig":
+        with open(path) as f:
+            raw = json.load(f)
+        return ExperimentConfig.from_dict(raw)
+
+    @staticmethod
+    def from_dict(raw: dict) -> "ExperimentConfig":
+        kwargs = dict(raw)
+        for field, cls in (
+            ("decoder", DecoderConfig),
+            ("render", RenderConfig),
+            ("signal", SignalConfig),
+            ("train", TrainConfig),
+        ):
+            if field in kwargs and isinstance(kwargs[field], dict):
+                sub = dict(kwargs[field])
+                if field == "decoder" and "skips" in sub:
+                    sub["skips"] = tuple(sub["skips"])
+                kwargs[field] = cls(**sub)
+        return ExperimentConfig(**kwargs)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+
+def parse_legacy_config_file(path: str) -> Tuple[float, float]:
+    """Read near/far from the pipeline-generated ``HeadNeRF_config_ba.txt``.
+
+    The reference parses these by raw line index (run_nerf_com_
+    trainExpLater.py:19-25, lines 3 and 4); we parse by key with a
+    positional fallback so both well-formed and legacy files work.
+    """
+    with open(path) as f:
+        lines = f.readlines()
+    near = far = None
+    for ln in lines:
+        if "=" in ln:
+            k, v = ln.split("=", 1)
+            k = k.strip()
+            if k == "near":
+                near = float(v.strip())
+            elif k == "far":
+                far = float(v.strip())
+    if near is None or far is None:
+        near = float(lines[3].split("=")[-1].strip())
+        far = float(lines[4].split("=")[-1].strip())
+    return near, far

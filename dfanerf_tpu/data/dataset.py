@@ -1,0 +1,202 @@
+"""Dataset loading: the ``transforms_{train,val}[_ba].json`` contract and a
+device-resident frame cache.
+
+Contract (written by the preprocessing pipeline, reference:
+process_data_ba.py:392-444; consumed by load_audface.py:11-176):
+
+    dataset/<id>/
+      transforms_train_ba.json   {focal_len, cx, cy, frames: [{img_id,
+                                  aud_id, transform_matrix 4x4, face_rect}]}
+      transforms_val_ba.json
+      head_imgs/{img_id:06d}.jpg   head+neck over background
+      com_imgs/{img_id:06d}.jpg    full composite target
+      bc.jpg                       static background
+      <id>_aud.pt   [N,512] wav2exp features   (or aud.npy [N,16,29])
+      <id>_64_32.pt {'exp_o': [N,64], 'exp_m': [N,32]}
+
+TPU-native redesign vs the reference loader: the reference re-reads target
+jpgs from disk EVERY training iteration (run_nerf_com_trainExpLater.py:
+770-774) — the single biggest host-side cost. Here all frames are decoded
+once into uint8 arrays that live in device HBM (uint8: a 7500-frame 450p
+identity is ~4.6 GB per stream); per-step pixel gathers and the /255
+conversion happen on-device for just the sampled rays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class FrameDataset:
+    """All per-identity training data, array-resident.
+
+    uint8 image stacks + float32 conditioning; mirrors the reference's
+    loader dict (load_audface.py:162-174) with images materialized.
+    """
+
+    poses: np.ndarray            # [N, 4, 4] float32 c2w
+    auds: np.ndarray             # [N, 512] wav2exp (or [N,16,29] DeepSpeech)
+    exps: Optional[np.ndarray]   # [N, 64] disentangled exp_o
+    imgs_head: Optional[np.ndarray]  # [N, H, W, 3] uint8 head+neck targets
+    imgs_com: Optional[np.ndarray]   # [N, H, W, 3] uint8 composite targets
+    bc_img: np.ndarray           # [H, W, 3] uint8 background
+    sample_rects: Optional[np.ndarray]  # [N, 4] int32 (x, y, w, h)
+    hwfcxy: Tuple[int, int, float, float, float]
+    i_train: np.ndarray          # int32 indices
+    i_val: np.ndarray
+    speak_frames: Optional[np.ndarray] = None
+    near: float = 0.3
+    far: float = 0.9
+
+    @property
+    def n_frames(self) -> int:
+        return self.poses.shape[0]
+
+
+def _load_pt_or_npy(path: str, key: Optional[str] = None) -> np.ndarray:
+    """Load a feature file saved either as torch .pt (reference format) or
+    .npy/.npz."""
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    if path.endswith(".npz"):
+        data = np.load(path)
+        return data[key if key else list(data.keys())[0]].astype(np.float32)
+    import torch  # torch only needed for reference-format .pt blobs
+
+    obj = torch.load(path, map_location="cpu")
+    if key is not None and isinstance(obj, dict):
+        obj = obj[key]
+    return obj.detach().cpu().numpy().astype(np.float32)
+
+
+def _imread(path: str) -> np.ndarray:
+    import imageio.v2 as imageio
+
+    return np.asarray(imageio.imread(path))
+
+
+def load_audface_dataset(
+    basedir: str,
+    aud_file: str,
+    exp_file: Optional[str] = None,
+    use_ba: bool = True,
+    testskip: int = 1,
+    all_speaker: bool = True,
+    test_file: Optional[str] = None,
+    load_images: bool = True,
+    max_frames: Optional[int] = None,
+) -> FrameDataset:
+    """Load an identity directory following the reference contract.
+
+    With ``test_file`` set, loads a driving manifest for novel-audio
+    rendering (poses + features only, no targets) — the reference's
+    test-file mode (load_audface.py:14-47).
+    """
+    aud_features = _load_pt_or_npy(os.path.join(basedir, aud_file))
+    exp_features = (
+        _load_pt_or_npy(os.path.join(basedir, exp_file), key="exp_o")
+        if exp_file
+        else None
+    )
+    bc_img = _imread(os.path.join(basedir, "bc.jpg"))
+    H, W = int(bc_img.shape[0]), int(bc_img.shape[1])
+
+    def read_manifest(name):
+        with open(os.path.join(basedir, name)) as f:
+            return json.load(f)
+
+    if test_file:
+        meta = read_manifest(test_file)
+        frames = meta["frames"][::testskip] if testskip > 1 else meta["frames"]
+        poses, auds, exps = [], [], []
+        for fr in frames:
+            poses.append(np.array(fr["transform_matrix"], np.float32))
+            fid = fr["img_id"]
+            auds.append(aud_features[min(fid, len(aud_features) - 1)])
+            if exp_features is not None:
+                exps.append(exp_features[min(fid, len(exp_features) - 1)])
+        n = len(poses)
+        return FrameDataset(
+            poses=np.stack(poses),
+            auds=np.stack(auds),
+            exps=np.stack(exps) if exps else None,
+            imgs_head=None,
+            imgs_com=None,
+            bc_img=bc_img,
+            sample_rects=None,
+            hwfcxy=(H, W, float(meta["focal_len"]), float(meta["cx"]), float(meta["cy"])),
+            i_train=np.arange(0, dtype=np.int32),
+            i_val=np.arange(n, dtype=np.int32),
+        )
+
+    suffix = "_ba" if use_ba else ""
+    metas = {
+        s: read_manifest(f"transforms_{s}{suffix}.json") for s in ("train", "val")
+    }
+    all_frames: List[dict] = []
+    counts = [0]
+    for s in ("train", "val"):
+        skip = 1 if s == "train" or testskip == 0 else testskip
+        frames = metas[s]["frames"][::skip]
+        all_frames.extend(frames)
+        counts.append(counts[-1] + len(frames))
+    if max_frames is not None:
+        all_frames = all_frames[:max_frames]
+        counts = [min(c, max_frames) for c in counts]
+
+    n = len(all_frames)
+    poses = np.zeros((n, 4, 4), np.float32)
+    auds = np.zeros((n,) + aud_features.shape[1:], np.float32)
+    exps = (
+        np.zeros((n,) + exp_features.shape[1:], np.float32)
+        if exp_features is not None
+        else None
+    )
+    rects = np.zeros((n, 4), np.int32)
+    imgs_head = imgs_com = None
+    if load_images:
+        imgs_head = np.zeros((n, H, W, 3), np.uint8)
+        imgs_com = np.zeros((n, H, W, 3), np.uint8)
+    for i, fr in enumerate(all_frames):
+        poses[i] = np.array(fr["transform_matrix"], np.float32)
+        auds[i] = aud_features[min(fr["aud_id"], len(aud_features) - 1)]
+        if exps is not None:
+            exps[i] = exp_features[min(fr["img_id"], len(exp_features) - 1)]
+        rects[i] = np.array(fr["face_rect"], np.int32)
+        if load_images:
+            imgs_head[i] = _imread(
+                os.path.join(basedir, "head_imgs", f"{fr['img_id']:06d}.jpg")
+            )
+            imgs_com[i] = _imread(
+                os.path.join(basedir, "com_imgs", f"{fr['img_id']:06d}.jpg")
+            )
+
+    meta = metas["val"]
+    speak = np.ones(n, np.int32)
+    if not all_speaker:
+        st = np.load(os.path.join(basedir, "speak_time.npy"))
+        speak = np.zeros(n, np.int32)
+        fps = 30
+        for k in range(st.shape[0]):
+            lo, hi = int(st[k, 0] * fps) + 1, int(st[k, 1] * fps) - 1
+            speak[lo:hi] = 1
+
+    return FrameDataset(
+        poses=poses,
+        auds=auds,
+        exps=exps,
+        imgs_head=imgs_head,
+        imgs_com=imgs_com,
+        bc_img=bc_img,
+        sample_rects=rects,
+        hwfcxy=(H, W, float(meta["focal_len"]), float(meta["cx"]), float(meta["cy"])),
+        i_train=np.arange(counts[0], counts[1], dtype=np.int32),
+        i_val=np.arange(counts[1], min(counts[2], n), dtype=np.int32),
+        speak_frames=speak,
+    )

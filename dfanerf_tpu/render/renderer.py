@@ -1,0 +1,140 @@
+"""Full-frame renderer: HBM-resident tiled rendering.
+
+The reference renders a frame as ~99 Python-loop chunks of 2048 rays with a
+host round-trip per chunk (run_nerf_com_trainExpLater.py:653-659). Here the
+whole frame is one jitted program: rays are reshaped into fixed-size tiles
+and swept with ``lax.map`` — sequential on-device execution, zero host
+involvement, one compilation. (The fused Pallas kernel in ops/ replaces the
+per-tile body for the speed-of-light path.)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfanerf_tpu.config import ExperimentConfig
+from dfanerf_tpu.core.rays import get_rays
+from dfanerf_tpu.core.sampling import stratified_z_vals
+from dfanerf_tpu.render.fields import render_ray_batch
+from dfanerf_tpu.train.signals import encode_signal, encode_signal_torso
+
+
+def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
+    """Build a jitted full-frame renderer.
+
+    Returns render_frame(params, z_shape, z_app, pose, pose_torso, signal,
+    signal_torso, bc_img_u8) -> (rgb_head [H,W,3], rgb_com [H,W,3]) floats.
+    """
+    H, W, focal, cx, cy = hwfcxy
+    H, W = int(H), int(W)
+    rcfg, dcfg = cfg.render, cfg.decoder
+    tile = min(rcfg.tile_rays, H * W)
+    n_pix = H * W
+    n_tiles = -(-n_pix // tile)
+    n_pad = n_tiles * tile - n_pix
+
+    @jax.jit
+    def render_frame(
+        params: Dict[str, Any],
+        z_shape: jnp.ndarray,
+        z_app: jnp.ndarray,
+        pose: jnp.ndarray,
+        pose_torso: jnp.ndarray,
+        signal: jnp.ndarray,
+        signal_torso: jnp.ndarray,
+        bc_img: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        rays_o, rays_d = get_rays(H, W, focal, pose, cx, cy)
+        rays_o_t, rays_d_t = get_rays(H, W, focal, pose_torso, cx, cy)
+        bc = bc_img.reshape(-1, 3).astype(jnp.float32) / 255.0
+
+        def pad_tile(x):
+            x = x.reshape(n_pix, -1)
+            x = jnp.concatenate([x, jnp.zeros((n_pad, x.shape[-1]), x.dtype)], 0)
+            return x.reshape(n_tiles, tile, -1)
+
+        ro, rd = pad_tile(rays_o), pad_tile(rays_d)
+        ro_t, rd_t = pad_tile(rays_o_t), pad_tile(rays_d_t)
+        bc = pad_tile(bc)
+        z_vals = stratified_z_vals(near, far, tile, rcfg.n_samples)
+
+        def tile_body(args):
+            o, d, ot, dt, b = args
+            return render_ray_batch(
+                params["decoder"], dcfg, rcfg,
+                o, d, ot, dt, z_vals,
+                signal, signal_torso,
+                z_shape[0], z_app[0], z_shape[1], z_app[1],
+                b,
+            )
+
+        rgb_head, rgb_com = jax.lax.map(tile_body, (ro, rd, ro_t, rd_t, bc))
+        rgb_head = rgb_head.reshape(-1, 3)[:n_pix].reshape(H, W, 3)
+        rgb_com = rgb_com.reshape(-1, 3)[:n_pix].reshape(H, W, 3)
+        return rgb_head, rgb_com
+
+    return render_frame
+
+
+def encode_frame_signals(
+    params,
+    auds: jnp.ndarray,
+    exps: jnp.ndarray,
+    poses: jnp.ndarray,
+    img_i,
+    n_valid: int,
+    cfg: ExperimentConfig,
+    use_smoothing: bool,
+):
+    """Host-callable helper: conditioning signals for one frame (jitted)."""
+    img_i = jnp.asarray(img_i, jnp.int32)
+    sig = encode_signal(
+        params, auds, exps, img_i, jnp.int32(n_valid), cfg.signal.smo_size,
+        jnp.asarray(use_smoothing),
+    )
+    sig_t = encode_signal_torso(
+        params, poses, img_i, jnp.int32(n_valid), cfg.signal.smo_torso_size,
+        jnp.asarray(use_smoothing), cfg.signal.et_multires,
+    )
+    return sig, sig_t
+
+
+def render_video_frames(
+    state,
+    data: Dict[str, jnp.ndarray],
+    cfg: ExperimentConfig,
+    hwfcxy,
+    near: float,
+    far: float,
+    frame_indices,
+    pose_body: Optional[jnp.ndarray] = None,
+    use_smoothing: bool = True,
+) -> np.ndarray:
+    """Render a sequence of frames (the --render_person path).
+
+    The torso camera is pinned to ``pose_body`` (the reference uses the
+    first TRAIN frame's pose for every rendered frame, :460,:644-646).
+    Returns uint8 [T, H, W, 3] composite frames.
+    """
+    render = make_frame_renderer(cfg, hwfcxy, near, far)
+    sig_fn = jax.jit(
+        lambda p, i: encode_frame_signals(
+            p, data["auds"], data["exps"], data["poses"], i,
+            data["auds"].shape[0], cfg, use_smoothing,
+        )
+    )
+    if pose_body is None:
+        pose_body = data["poses"][0]
+    out = []
+    for i in frame_indices:
+        sig, sig_t = sig_fn(state["params"], jnp.int32(i))
+        _, rgb_com = render(
+            state["params"], state["z_shape"], state["z_app"],
+            data["poses"][i], pose_body, sig, sig_t, data["bc_img"],
+        )
+        out.append(np.asarray(jnp.clip(rgb_com, 0, 1) * 255).astype(np.uint8))
+    return np.stack(out)
