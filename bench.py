@@ -28,10 +28,22 @@ def main():
     from dfanerf_tpu.render.renderer import encode_frame_signals, make_frame_renderer
     from dfanerf_tpu.train import dataset_to_device, init_train_state
 
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     H = W = 450
     n_frames_bench = 20
+    on_tpu = jax.default_backend() == "tpu"
     cfg = ExperimentConfig(
-        render=RenderConfig(n_samples=64, tile_rays=8192, concate_bg=True),
+        render=RenderConfig(
+            n_samples=64,
+            tile_rays=2048,
+            concate_bg=True,
+            # the fused Pallas kernel is the TPU serving path; CPU falls
+            # back to the tiled XLA renderer
+            use_fused_kernel=on_tpu,
+            compute_dtype="bfloat16" if on_tpu else "float32",
+        ),
         train=TrainConfig(),
     )
     # tiny synthetic dataset only to supply poses/signals/background at 450p

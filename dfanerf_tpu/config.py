@@ -30,6 +30,10 @@ class RenderConfig:
     tile_rays: int = 8192  # rays per renderer tile (replaces --chunk loops)
     near: float = 0.3
     far: float = 0.9
+    compute_dtype: str = "float32"  # "bfloat16" runs the MLP trunk on the
+    # MXU in bf16 (PE and compositing stay fp32); use for inference/serving
+    use_fused_kernel: bool = False  # fused Pallas render kernel (TPU; bf16
+    # trunk, fp32 sigma/compositing; requires concate_bg and n_samples % 8 == 0)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -216,6 +216,7 @@ def apply_decoder(
     signal: Optional[jnp.ndarray],
     branch: str,
     expression: Optional[jnp.ndarray] = None,
+    compute_dtype: Optional[Any] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evaluate the decoder on a flat point batch.
 
@@ -229,19 +230,32 @@ def apply_decoder(
         branch: 'head' | 'head_listener' | 'torso' (STATIC).
         expression: [dim_exp] raw expression for the use_expression path
             (added to the view feature via expnet), or None.
+        compute_dtype: when set (e.g. jnp.bfloat16), run the MLP trunk in
+            that dtype. Positional encodings are always computed in fp32
+            (high-frequency sin/cos phases need fp32 inputs) and cast after;
+            outputs are returned as fp32 for the fp32 compositing path.
 
     Returns:
-        feat: [N, rgb_out_dim] (sigmoid'd if configured); sigma: [N].
+        feat: [N, rgb_out_dim] (sigmoid'd if configured); sigma: [N] fp32.
     """
     assert branch in ("head", "head_listener", "torso")
     dtype = p_in.dtype
 
-    p = sincos_posenc(p_in, cfg.n_freq_posenc, cfg.downscale_p_by)  # [N, 60]
+    if compute_dtype is not None:
+        params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
+        z_shape = z_shape.astype(compute_dtype)
+        z_app = z_app.astype(compute_dtype)
+
+    p = sincos_posenc(
+        p_in.astype(jnp.float32), cfg.n_freq_posenc, cfg.downscale_p_by
+    )  # [N, 60]
+    if compute_dtype is not None:
+        p = p.astype(compute_dtype)
 
     if branch != "head_listener":
         assert signal is not None
         sig = jnp.broadcast_to(
-            jnp.atleast_2d(signal).astype(dtype), (p.shape[0], signal.shape[-1])
+            jnp.atleast_2d(signal).astype(p.dtype), (p.shape[0], signal.shape[-1])
         )
         p = jnp.concatenate([p, sig], axis=-1)
 
@@ -280,15 +294,18 @@ def apply_decoder(
         net = net + linear(params["expnet"], expression)
 
     if cfg.use_viewdirs and ray_d is not None:
+        ray_d = ray_d.astype(jnp.float32)
         ray_d = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
         rd = sincos_posenc(ray_d, cfg.n_freq_posenc_views, cfg.downscale_p_by)
+        if compute_dtype is not None:
+            rd = rd.astype(compute_dtype)
         net = net + linear(params["fc_view"], rd)
         net = jax.nn.relu(net)
         if cfg.n_blocks_view > 1:
             for layer in params["blocks_view"]:
                 net = jax.nn.relu(linear(layer, net))
 
-    feat = linear(params["feat_out"], net)
+    feat = linear(params["feat_out"], net).astype(jnp.float32)
     if cfg.final_sigmoid_activation:
         feat = jax.nn.sigmoid(feat)
-    return feat, sigma
+    return feat, sigma.astype(jnp.float32)

@@ -60,12 +60,16 @@ def render_ray_batch(
         rgb_com:  [R, 3] head+torso composite render (vs composite target).
     """
     R, S = z_vals.shape
+    compute_dtype = (
+        jnp.bfloat16 if rcfg.compute_dtype == "bfloat16" else None
+    )
 
     def field(branch, ro, rd, sig, zs, za):
         pts = ro[:, None, :] + rd[:, None, :] * z_vals[..., None]
         rd_flat = jnp.repeat(rd, S, axis=0)
         feat, sigma = apply_decoder(
-            decoder_params, dec_cfg, pts.reshape(-1, 3), rd_flat, zs, za, sig, branch
+            decoder_params, dec_cfg, pts.reshape(-1, 3), rd_flat, zs, za, sig,
+            branch, compute_dtype=compute_dtype,
         )
         return feat.reshape(R, S, 3), sigma.reshape(R, S)
 

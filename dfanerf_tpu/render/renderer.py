@@ -37,6 +37,36 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
     n_tiles = -(-n_pix // tile)
     n_pad = n_tiles * tile - n_pix
 
+    if rcfg.use_fused_kernel:
+        from dfanerf_tpu.ops.fused_render import fused_render_rays
+        from dfanerf_tpu.ops.pack import pack_field_weights
+
+        assert rcfg.concate_bg and rcfg.n_samples % 8 == 0
+
+        @jax.jit
+        def render_frame_fused(params, z_shape, z_app, pose, pose_torso,
+                               signal, signal_torso, bc_img):
+            rays_o, rays_d = get_rays(H, W, focal, pose, cx, cy)
+            rays_o_t, rays_d_t = get_rays(H, W, focal, pose_torso, cx, cy)
+            z_vals = jnp.linspace(near, far, rcfg.n_samples)
+            bc = bc_img.reshape(-1, 3).astype(jnp.float32) / 255.0
+            pw_h = pack_field_weights(
+                params["decoder"], dcfg, signal, z_shape[0], z_app[0], "head"
+            )
+            pw_t = pack_field_weights(
+                params["decoder"], dcfg, signal_torso, z_shape[1], z_app[1],
+                "torso",
+            )
+            rgb_head, rgb_com = fused_render_rays(
+                pw_h, pw_t,
+                rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
+                rays_o_t.reshape(-1, 3), rays_d_t.reshape(-1, 3),
+                z_vals, bc, last_dist=rcfg.last_dist,
+            )
+            return rgb_head.reshape(H, W, 3), rgb_com.reshape(H, W, 3)
+
+        return render_frame_fused
+
     @jax.jit
     def render_frame(
         params: Dict[str, Any],
