@@ -106,3 +106,63 @@ def render_ray_batch(
         last_dist=rcfg.last_dist,
     )
     return rgb_head, rgb_com
+
+
+def render_head_hierarchical(
+    decoder_params: Params,
+    dec_cfg: DecoderConfig,
+    rcfg: RenderConfig,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    signal: jnp.ndarray,
+    z_shape: jnp.ndarray,
+    z_app: jnp.ndarray,
+    bc_rgb: Optional[jnp.ndarray],
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Coarse+fine head-field render (the reference's ``--N_importance``
+    path: render_rays' 'fine' branch at run_nerf_com_trainExpLater.py:
+    122-124 + sample_pdf, dormant in the shipped trainer but part of the
+    supported config space — BASELINE config 2).
+
+    Coarse pass at ``z_vals`` -> compositing weights -> inverse-CDF resample
+    ``rcfg.n_importance`` extra depths (det when key is None) -> one fine
+    pass over the sorted union. Background concat applies to the union's
+    last sample like the coarse path.
+
+    Returns rgb [R, 3] from the fine pass.
+    """
+    from dfanerf_tpu.core.sampling import hierarchical_z_vals
+
+    R, S = z_vals.shape
+    compute_dtype = jnp.bfloat16 if rcfg.compute_dtype == "bfloat16" else None
+
+    def field(zv):
+        S_all = zv.shape[-1]
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * zv[..., None]
+        rd_flat = jnp.repeat(rays_d, S_all, axis=0)
+        feat, sigma = apply_decoder(
+            decoder_params, dec_cfg, pts.reshape(-1, 3), rd_flat,
+            z_shape, z_app, signal, "head", compute_dtype=compute_dtype,
+        )
+        feat = feat.reshape(R, S_all, 3)
+        sigma = jax.nn.relu(sigma.reshape(R, S_all))
+        if rcfg.concate_bg:
+            assert bc_rgb is not None
+            feat = jnp.concatenate([feat[:, :-1, :], bc_rgb[:, None, :]], axis=1)
+            sigma = sigma.at[:, -1].add(1e-6)
+        return feat, sigma
+
+    feat_c, sigma_c = field(z_vals)
+    _, weights = volume_render(
+        z_vals, rays_d, sigma_c[None], feat_c[None], last_dist=rcfg.last_dist
+    )
+    z_fine = hierarchical_z_vals(
+        z_vals, weights, rcfg.n_importance, key=key, det=key is None
+    )
+    feat_f, sigma_f = field(z_fine)
+    rgb, _ = volume_render(
+        z_fine, rays_d, sigma_f[None], feat_f[None], last_dist=rcfg.last_dist
+    )
+    return rgb
