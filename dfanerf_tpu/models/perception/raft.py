@@ -1,0 +1,372 @@
+"""RAFT-small dense optical flow — functional JAX reimplementation of
+UNFaceFlow/core (raft.py, extractor.py SmallEncoder, update.py
+SmallUpdateBlock, corr.py CorrBlock) plus the NeuralNRT crop/uncrop
+inference wrapper (models/network_test_flow.py:60-104) and the
+ImportanceWeights head.
+
+TPU notes:
+- the all-pairs correlation volume is one [B*HW, HW] matmul (MXU) and its
+  pyramid is built with average pooling over the target grid;
+- correlation lookup is bilinear gather at 4 levels x 7x7 offsets
+  (radius 3), batched as one gather per level;
+- the recurrent update (12 iterations of ConvGRU) runs under
+  ``lax.scan`` — one compiled iteration body;
+- instance norm (fnet) is affine-free like torch's InstanceNorm2d default.
+
+The shipped checkpoint raft-small.pth converts weight-for-weight; the
+UNFaceFlow refinement checkpoint (sgd_NNRT_model_*.pth) is one of the
+reference's missing blobs — the converter accepts it when provided.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfanerf_tpu.models.perception.common import conv2d, conv_from_torch
+
+Params = Dict[str, Any]
+
+HDIM, CDIM = 96, 64
+CORR_LEVELS, CORR_RADIUS = 4, 3
+
+
+# --- primitives -----------------------------------------------------------------
+
+
+def _instance_norm(x, eps=1e-5):
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    return (x - mean) / jnp.sqrt(var + eps)
+
+
+def _bottleneck(p, x, stride, norm):
+    def n(y):
+        return _instance_norm(y) if norm == "instance" else y
+
+    y = jax.nn.relu(n(conv2d(p["conv1"], x)))
+    y = jax.nn.relu(n(conv2d(p["conv2"], y, stride=stride, padding=1)))
+    y = jax.nn.relu(n(conv2d(p["conv3"], y)))
+    if "downsample" in p:
+        x = n(conv2d(p["downsample"], x, stride=stride))
+    return jax.nn.relu(x + y)
+
+
+def small_encoder(p, x, norm):
+    """[N, H, W, 3] -> [N, H/8, W/8, out]."""
+    def n(y):
+        return _instance_norm(y) if norm == "instance" else y
+
+    x = jax.nn.relu(n(conv2d(p["conv1"], x, stride=2, padding=3)))
+    for li, stride in (("layer1", 1), ("layer2", 2), ("layer3", 2)):
+        x = _bottleneck(p[li][0], x, stride, norm)
+        x = _bottleneck(p[li][1], x, 1, norm)
+    return conv2d(p["conv2"], x)
+
+
+def coords_grid(batch, h, w):
+    """[N, H, W, 2] (x, y) pixel coordinates."""
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    grid = jnp.stack([xs, ys], axis=-1).astype(jnp.float32)
+    return jnp.broadcast_to(grid[None], (batch, h, w, 2))
+
+
+def bilinear_sampler(img, coords):
+    """img [M, H, W, C], coords [M, Q, 2] (x, y) pixel coords; zero padding
+    outside (grid_sample align_corners=True, padding_mode='zeros')."""
+    m, h, w, c = img.shape
+    x, y = coords[..., 0], coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    def gather(xi, yi):
+        valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        flat = img.reshape(m, h * w, c)
+        idx = yi_c * w + xi_c
+        out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return out * valid[..., None]
+
+    a = gather(x0, y0)
+    b = gather(x0 + 1, y0)
+    cc = gather(x0, y0 + 1)
+    d = gather(x0 + 1, y0 + 1)
+    return (
+        a * ((1 - wx) * (1 - wy))[..., None]
+        + b * (wx * (1 - wy))[..., None]
+        + cc * ((1 - wx) * wy)[..., None]
+        + d * (wx * wy)[..., None]
+    )
+
+
+def _avg_pool2(x):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
+        [(0, 0)] * 4,
+    ) / 4.0
+
+
+def build_corr_pyramid(fmap1, fmap2):
+    """All-pairs correlation pyramid. fmaps [N, H, W, D] -> list of
+    [N*H*W, h_l, w_l, 1] volumes."""
+    n, h, w, d = fmap1.shape
+    corr = jnp.einsum(
+        "npd,nqd->npq", fmap1.reshape(n, h * w, d), fmap2.reshape(n, h * w, d)
+    ) / jnp.sqrt(jnp.float32(d))
+    corr = corr.reshape(n * h * w, h, w, 1)
+    pyramid = [corr]
+    for _ in range(CORR_LEVELS - 1):
+        corr = _avg_pool2(corr)
+        pyramid.append(corr)
+    return pyramid
+
+
+def lookup_corr(pyramid, coords):
+    """coords [N, H, W, 2] -> correlation features [N, H, W, LEVELS*(2r+1)^2]."""
+    n, h, w, _ = coords.shape
+    r = CORR_RADIUS
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    # delta stacked (dy, dx) then used as (x=..1, y=..0)? reference builds
+    # meshgrid(dy, dx) stacked last-dim (dy, dx) and adds to (x, y) coords /
+    # 2**i — i.e. delta[..., 0] adds to x. Keep (dy_first) ordering:
+    dyx = jnp.stack(jnp.meshgrid(d, d, indexing="ij"), axis=-1).reshape(-1, 2)
+    out = []
+    for i, corr in enumerate(pyramid):
+        centroid = coords.reshape(n * h * w, 1, 2) / (2 ** i)
+        pts = centroid + dyx[None]  # [(NHW), 49, 2] — (x, y) + (dy→x?, dx→y?)
+        sampled = bilinear_sampler(corr, pts)[..., 0]  # [(NHW), 49]
+        out.append(sampled.reshape(n, h, w, -1))
+    return jnp.concatenate(out, axis=-1)
+
+
+# --- update block -----------------------------------------------------------------
+
+
+def small_motion_encoder(p, flow, corr):
+    cor = jax.nn.relu(conv2d(p["convc1"], corr))
+    flo = jax.nn.relu(conv2d(p["convf1"], flow, padding=3))
+    flo = jax.nn.relu(conv2d(p["convf2"], flo, padding=1))
+    out = jax.nn.relu(conv2d(p["conv"], jnp.concatenate([cor, flo], -1), padding=1))
+    return jnp.concatenate([out, flow], axis=-1)
+
+
+def conv_gru(p, h, x):
+    hx = jnp.concatenate([h, x], axis=-1)
+    z = jax.nn.sigmoid(conv2d(p["convz"], hx, padding=1))
+    r = jax.nn.sigmoid(conv2d(p["convr"], hx, padding=1))
+    q = jnp.tanh(conv2d(p["convq"], jnp.concatenate([r * h, x], -1), padding=1))
+    return (1 - z) * h + z * q
+
+
+def flow_head(p, x):
+    feat = jax.nn.relu(conv2d(p["conv1"], x, padding=1))
+    return conv2d(p["conv2"], feat, padding=1), feat
+
+
+def upflow8(flow):
+    n, h, w, _ = flow.shape
+    # bilinear align_corners=True x8 upsample, flow scaled by 8
+    from dfanerf_tpu.models.perception.common import resize_bilinear_align
+
+    return 8.0 * resize_bilinear_align(flow, (8 * h, 8 * w))
+
+
+# --- full model --------------------------------------------------------------------
+
+
+def apply_raft_small(
+    params: Params, image1: jnp.ndarray, image2: jnp.ndarray, iters: int = 12
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """image1/2: [N, H, W, 3] uint8-scale (0..255) floats, H and W multiples
+    of 8 -> (flow [N, H, W, 2] in pixels, update feature [N, H/8, W/8, 128]).
+    """
+    image1 = 2.0 * (image1 / 255.0) - 1.0
+    image2 = 2.0 * (image2 / 255.0) - 1.0
+    fmap1 = small_encoder(params["fnet"], image1, "instance")
+    fmap2 = small_encoder(params["fnet"], image2, "instance")
+    pyramid = build_corr_pyramid(fmap1, fmap2)
+
+    cnet = small_encoder(params["cnet"], image1, "none")
+    net = jnp.tanh(cnet[..., :HDIM])
+    inp = jax.nn.relu(cnet[..., HDIM:])
+
+    n, h8, w8, _ = fmap1.shape
+    coords0 = coords_grid(n, h8, w8)
+
+    def body(carry, _):
+        net, coords1 = carry
+        corr = lookup_corr(pyramid, coords1)
+        flow = coords1 - coords0
+        motion = small_motion_encoder(params["update"]["encoder"], flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = conv_gru(params["update"]["gru"], net, x)
+        delta, feat = flow_head(params["update"]["flow_head"], net)
+        return (net, coords1 + delta), feat
+
+    (net, coords1), feats = jax.lax.scan(
+        body, (net, coords0), None, length=iters
+    )
+    flow_up = upflow8(coords1 - coords0)
+    return flow_up, feats[-1]
+
+
+# --- init / converter ----------------------------------------------------------------
+
+
+def _init_conv_t(key, cin, cout, ks, padding=None):
+    import math
+
+    kh, kw = (ks, ks) if isinstance(ks, int) else ks
+    fan_out = cout * kh * kw
+    std = math.sqrt(2.0 / fan_out)
+    k1, k2 = jax.random.split(key)
+    return {
+        "w": jax.random.normal(k1, (kh, kw, cin, cout)) * std,
+        "b": jnp.zeros((cout,)),
+    }
+
+
+def init_raft_small(key: jax.Array) -> Params:
+    ks = jax.random.split(key, 80)
+    ki = iter(ks)
+
+    def bottleneck(cin, planes, stride):
+        p = {
+            "conv1": _init_conv_t(next(ki), cin, planes // 4, 1),
+            "conv2": _init_conv_t(next(ki), planes // 4, planes // 4, 3),
+            "conv3": _init_conv_t(next(ki), planes // 4, planes, 1),
+        }
+        if stride != 1:
+            p["downsample"] = _init_conv_t(next(ki), cin, planes, 1)
+        return p
+
+    def encoder(out_dim):
+        return {
+            "conv1": _init_conv_t(next(ki), 3, 32, 7),
+            "layer1": [bottleneck(32, 32, 1), bottleneck(32, 32, 1)],
+            "layer2": [bottleneck(32, 64, 2), bottleneck(64, 64, 1)],
+            "layer3": [bottleneck(64, 96, 2), bottleneck(96, 96, 1)],
+            "conv2": _init_conv_t(next(ki), 96, out_dim, 1),
+        }
+
+    cor_planes = CORR_LEVELS * (2 * CORR_RADIUS + 1) ** 2
+    return {
+        "fnet": encoder(128),
+        "cnet": encoder(HDIM + CDIM),
+        "update": {
+            "encoder": {
+                "convc1": _init_conv_t(next(ki), cor_planes, 96, 1),
+                "convf1": _init_conv_t(next(ki), 2, 64, 7),
+                "convf2": _init_conv_t(next(ki), 64, 32, 3),
+                "conv": _init_conv_t(next(ki), 128, 80, 3),
+            },
+            "gru": {
+                "convz": _init_conv_t(next(ki), HDIM + 82 + CDIM, HDIM, 3),
+                "convr": _init_conv_t(next(ki), HDIM + 82 + CDIM, HDIM, 3),
+                "convq": _init_conv_t(next(ki), HDIM + 82 + CDIM, HDIM, 3),
+            },
+            "flow_head": {
+                "conv1": _init_conv_t(next(ki), HDIM, 128, 3),
+                "conv2": _init_conv_t(next(ki), 128, 2, 3),
+            },
+        },
+    }
+
+
+def raft_small_from_torch(sd: Mapping[str, Any]) -> Params:
+    """Convert raft-small.pth (keys may carry a 'module.' prefix)."""
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+
+    def enc(prefix):
+        def bottleneck(name):
+            p = {
+                "conv1": conv_from_torch(sd, f"{name}.conv1"),
+                "conv2": conv_from_torch(sd, f"{name}.conv2"),
+                "conv3": conv_from_torch(sd, f"{name}.conv3"),
+            }
+            if f"{name}.downsample.0.weight" in sd:
+                p["downsample"] = conv_from_torch(sd, f"{name}.downsample.0")
+            return p
+
+        return {
+            "conv1": conv_from_torch(sd, f"{prefix}.conv1"),
+            "layer1": [bottleneck(f"{prefix}.layer1.{i}") for i in range(2)],
+            "layer2": [bottleneck(f"{prefix}.layer2.{i}") for i in range(2)],
+            "layer3": [bottleneck(f"{prefix}.layer3.{i}") for i in range(2)],
+            "conv2": conv_from_torch(sd, f"{prefix}.conv2"),
+        }
+
+    return {
+        "fnet": enc("fnet"),
+        "cnet": enc("cnet"),
+        "update": {
+            "encoder": {
+                k: conv_from_torch(sd, f"update_block.encoder.{k}")
+                for k in ("convc1", "convf1", "convf2", "conv")
+            },
+            "gru": {
+                k: conv_from_torch(sd, f"update_block.gru.{k}")
+                for k in ("convz", "convr", "convq")
+            },
+            "flow_head": {
+                "conv1": conv_from_torch(sd, "update_block.flow_head.conv1"),
+                "conv2": conv_from_torch(sd, "update_block.flow_head.conv2"),
+            },
+        },
+    }
+
+
+# --- NeuralNRT crop/uncrop inference wrapper ------------------------------------------
+
+
+def flow_on_crops(
+    params: Params,
+    src_crop: np.ndarray,
+    tar_crop: np.ndarray,
+    crop_params: np.ndarray,
+    full_hw: Tuple[int, int],
+    iters: int = 12,
+) -> np.ndarray:
+    """The test_flow inference contract (network_test_flow.py:73-104):
+    RAFT on fixed-size crops, flow rescaled/offset back into the full frame.
+
+    Args:
+        src_crop/tar_crop: [N, ch, cw, 3] uint8-scale crops (crop_height x
+            crop_width as in the reference's options, default 240x320).
+        crop_params: [N, 8] int (x1s, x2s, y1s, y2s, x1t, x2t, y1t, y2t) —
+            source and target crop rects in the full frame.
+        full_hw: (H, W) of the full frames.
+    Returns:
+        [N, H, W, 2] flow in full-frame pixels (zero outside the src rect).
+    """
+    n, ch, cw, _ = src_crop.shape
+    H, W = full_hw
+    flow_crop, _ = jax.jit(apply_raft_small, static_argnums=3)(
+        params, jnp.asarray(src_crop, jnp.float32), jnp.asarray(tar_crop, jnp.float32),
+        iters,
+    )
+    flow_crop = np.asarray(flow_crop)
+    xs, ys = np.meshgrid(np.arange(cw), np.arange(ch))
+    grid_crop = np.stack([xs, ys], -1).astype(np.float32)  # [ch, cw, 2]
+
+    out = np.zeros((n, H, W, 2), np.float32)
+    for i in range(n):
+        x1s, x2s, y1s, y2s, x1t, x2t, y1t, y2t = [int(v) for v in crop_params[i]]
+        scale1 = np.array([(x2s - x1s) / cw, (y2s - y1s) / ch], np.float32)
+        scale2 = np.array([(x2t - x1t) / cw, (y2t - y1t) / ch], np.float32)
+        f = (scale2 - scale1) * grid_crop + scale2 * flow_crop[i]
+        # resize to the source rect size (bilinear align_corners=True)
+        from dfanerf_tpu.models.perception.common import resize_bilinear_align
+
+        f = np.asarray(
+            resize_bilinear_align(jnp.asarray(f[None]), (y2s - y1s, x2s - x1s))
+        )[0]
+        f = f + np.array([x1t - x1s, y1t - y1s], np.float32)
+        out[i, y1s:y2s, x1s:x2s] = f
+    return out

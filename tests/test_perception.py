@@ -60,3 +60,102 @@ class TestBiSeNet:
         np.testing.assert_allclose(
             np.asarray(ours32), ref32.numpy().transpose(0, 2, 3, 1), atol=2e-4, rtol=1e-3
         )
+
+
+class TestHRNet:
+    def test_shapes(self):
+        from dfanerf_tpu.models.perception.hrnet import apply_hrnet, init_hrnet
+
+        params = init_hrnet(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 64, 64, 3))
+        out = jax.jit(apply_hrnet)(params, x)
+        assert out.shape == (1, 16, 16, 68)
+
+    @needs_reference
+    def test_parity_vs_torch(self):
+        import os, sys
+
+        sys.path.insert(
+            0, os.path.join(REFERENCE_ROOT, "data_util", "face-alignment", "lib", "models")
+        )
+        import torch
+        from face_hrnet import HighResolutionNet
+
+        class NS:
+            def __init__(self, **kw):
+                self.__dict__.update(kw)
+
+            def __getitem__(self, k):
+                return self.__dict__[k]
+
+        extra = NS(
+            FINAL_CONV_KERNEL=1,
+            STAGE2=dict(NUM_MODULES=1, NUM_BRANCHES=2, BLOCK="BASIC",
+                        NUM_BLOCKS=[4, 4], NUM_CHANNELS=[18, 36], FUSE_METHOD="SUM"),
+            STAGE3=dict(NUM_MODULES=4, NUM_BRANCHES=3, BLOCK="BASIC",
+                        NUM_BLOCKS=[4, 4, 4], NUM_CHANNELS=[18, 36, 72], FUSE_METHOD="SUM"),
+            STAGE4=dict(NUM_MODULES=3, NUM_BRANCHES=4, BLOCK="BASIC",
+                        NUM_BLOCKS=[4, 4, 4, 4], NUM_CHANNELS=[18, 36, 72, 144],
+                        FUSE_METHOD="SUM"),
+        )
+        # dict-style access used for stages, attr-style for EXTRA fields
+        extra.__dict__["STAGE2"]["NUM_CHANNELS"] = [18, 36]
+        config = NS(MODEL=NS(EXTRA=extra, NUM_JOINTS=68))
+
+        torch.manual_seed(0)
+        net = HighResolutionNet(config).eval()
+        from dfanerf_tpu.models.perception.hrnet import apply_hrnet, hrnet_from_torch
+
+        params = hrnet_from_torch(net.state_dict())
+        x = np.random.RandomState(1).randn(1, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.tensor(x))["heatmap"].numpy()
+        ours = np.asarray(apply_hrnet(params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+        np.testing.assert_allclose(
+            ours, ref.transpose(0, 2, 3, 1), atol=5e-4, rtol=1e-3
+        )
+
+
+class TestGhostNetEye:
+    def test_shapes(self):
+        from dfanerf_tpu.models.perception.ghostnet_eye import apply_eye_net, init_eye_net
+
+        params = init_eye_net(jax.random.PRNGKey(0))
+        x = jnp.zeros((2, 32, 48, 1))
+        out = jax.jit(apply_eye_net)(params, x)
+        assert out.shape == (2, 16, 24, 6)
+
+    @needs_reference
+    def test_parity_vs_torch(self):
+        import os, sys
+
+        sys.path.insert(
+            0, os.path.join(REFERENCE_ROOT, "data_util", "face-alignment", "lib", "models")
+        )
+        import torch
+        from eye_encoder_decoder_300w import get_eye_net
+
+        class NS:
+            def __init__(self, **kw):
+                self.__dict__.update(kw)
+
+        cfg = NS(MODEL=NS(
+            NUM_EYE_JOINTS=6,
+            EXTRA=NS(INTERMEDIATE_CHANNELS=240, USE_REGRESS_BRANCH=False,
+                     USE_HEATMAP_BRANCH=True),
+        ))
+        torch.manual_seed(0)
+        net = get_eye_net(cfg).eval()
+        from dfanerf_tpu.models.perception.ghostnet_eye import (
+            apply_eye_net,
+            eye_net_from_torch,
+        )
+
+        params = eye_net_from_torch(net.state_dict())
+        x = np.random.RandomState(2).randn(2, 1, 32, 48).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.tensor(x))["heatmap"].numpy()
+        ours = np.asarray(apply_eye_net(params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+        np.testing.assert_allclose(
+            ours, ref.transpose(0, 2, 3, 1), atol=5e-4, rtol=1e-3
+        )
