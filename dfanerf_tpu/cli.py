@@ -159,9 +159,14 @@ def cmd_render(args):
     for i, fr in enumerate(frames):
         imageio.imwrite(os.path.join(args.out, f"test_{i:06d}.jpg"), fr)
     if args.video:
-        imageio.mimwrite(
-            os.path.join(args.out, f"{cfg.expname}.mp4"), frames, fps=25, quality=8
-        )
+        mp4 = os.path.join(args.out, f"{cfg.expname}.mp4")
+        try:
+            imageio.mimwrite(mp4, frames, fps=25, quality=8)
+        except (ValueError, ImportError):
+            # no ffmpeg backend in this environment — fall back to GIF
+            gif = os.path.join(args.out, f"{cfg.expname}.gif")
+            imageio.mimwrite(gif, frames, duration=1000 / 25)
+            print(f"[render] no mp4 backend; wrote {gif} instead")
     print(f"[render] wrote {len(frames)} frames to {args.out}")
 
 
