@@ -83,6 +83,21 @@ def compose_training_images(
     return com, head, mask
 
 
+def compose_head_neck_image(
+    ori_img: np.ndarray, parsing_img: np.ndarray, bc_img: np.ndarray,
+    neck_color=(0, 255, 0),
+) -> np.ndarray:
+    """parse_head_neck.py:68-80 variant: keep head+neck classes (the
+    reference's BGR-read masks translate to head (255,0,0) | neck
+    (0,255,0) in RGB) over the background."""
+    keep = _is_color(parsing_img, HEAD_COLOR) | _is_color(parsing_img, neck_color)
+    bc_part = _is_color(parsing_img, BG_COLOR)
+    img = ori_img.copy()
+    img[bc_part] = bc_img[bc_part]
+    img[~keep] = bc_img[~keep]
+    return img
+
+
 def flow_stability_map(
     rigid_flows: np.ndarray, rigid_mask: np.ndarray, h: int, w: int
 ) -> np.ndarray:

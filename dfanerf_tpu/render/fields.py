@@ -44,6 +44,7 @@ def render_ray_batch(
     z_shape_torso: jnp.ndarray,
     z_app_torso: jnp.ndarray,
     bc_rgb: Optional[jnp.ndarray],
+    head_branch: str = "head",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render one ray batch through both fields.
 
@@ -54,6 +55,9 @@ def render_ray_batch(
         signal: [dim_signal]; signal_torso: [dim_et_embed].
         z_*: [z_dim] latents for the (object, part) pairs.
         bc_rgb: [R, 3] background pixels (required when rcfg.concate_bg).
+        head_branch: 'head' (speaker) or 'head_listener' (the reference's
+            itr_obj != 0 objects, whose head field takes no audio signal —
+            run_nerf_com_trainExpLater.py:70-74 + decoder.py:307).
 
     Returns:
         rgb_head: [R, 3] head-field-only render (vs head+neck target);
@@ -73,7 +77,11 @@ def render_ray_batch(
         )
         return feat.reshape(R, S, 3), sigma.reshape(R, S)
 
-    feat_h, sigma_h = field("head", rays_o, rays_d, signal, z_shape_head, z_app_head)
+    feat_h, sigma_h = field(
+        head_branch, rays_o, rays_d,
+        signal if head_branch == "head" else None,
+        z_shape_head, z_app_head,
+    )
     feat_t, sigma_t = field(
         "torso", rays_o_torso, rays_d_torso, signal_torso, z_shape_torso, z_app_torso
     )
