@@ -127,9 +127,11 @@ def _mm(x, w):
 
 def _render_kernel(
     # per-(tile, slab) data
-    enc_h_ref, enc_t_ref, dists_h_ref, dists_t_ref,
+    dists_h_ref, dists_t_ref, z_ref,
     # per-tile data
-    vr_h_ref, vr_t_ref, aux_ref,
+    o_h_ref, d_h_ref, o_t_ref, d_t_ref, vr_h_ref, vr_t_ref, aux_ref,
+    # PE constants
+    freq_ref, phase_ref,
     # head weights
     hw_in, hb_in, hw_blocks, hb_blocks, hw_skip, hb_skip, hw_sf, hb_sf,
     hw_out, hb_out,
@@ -163,8 +165,23 @@ def _render_kernel(
             h = h.astype(jnp.bfloat16)
         return _mm(h, w_sf[:]) + b_sf[:]  # [rows, 384] f32
 
+    def encode(o_ref, d_ref):
+        """In-kernel positional encoding: the caller pre-replicates ray
+        origins/dirs into the 64 PE slots (slot c holds coordinate c%3),
+        so enc = sin((o + d*z) * freq + phase) — one VPU transcendental
+        per element, fp32 phases, no HBM-resident encodings."""
+        o = o_ref[:]
+        d = d_ref[:]
+        freq = freq_ref[:]
+        ph = phase_ref[:]
+        encs = []
+        for s in range(S_SLAB):  # static unroll; sample-major row order
+            pts = o + d * z_ref[0, 0, s]
+            encs.append(jnp.sin(pts * freq + ph))
+        return jnp.concatenate(encs, axis=0).astype(jnp.bfloat16)
+
     # --- head field ---
-    pe_h = enc_h_ref[0].reshape(rows, PE_PAD)
+    pe_h = encode(o_h_ref, d_h_ref)
     sf_h = trunk(pe_h, hw_in, hb_in, hw_blocks, hb_blocks, hw_skip, hb_skip,
                  hw_sf, hb_sf)
     vr_h = jnp.broadcast_to(vr_h_ref[:][None], (S_SLAB, R_T, 256)).reshape(rows, 256)
@@ -175,7 +192,7 @@ def _render_kernel(
     sigma_h = jnp.maximum(sf_h[:, 0:1], 0.0)
 
     # --- torso field: deform then trunk ---
-    pe_t = enc_t_ref[0].reshape(rows, PE_PAD)
+    pe_t = encode(o_t_ref, d_t_ref)
     dh = jnp.maximum(_mm(pe_t, d_w1[:]) + d_b1[:], 0.0).astype(jnp.bfloat16)
     for i in range(4):
         dh = jnp.maximum(_mm(dh, d_wk[i]) + d_bk[i], 0.0)
@@ -282,17 +299,26 @@ def fused_render_rays(
     rays_o_t, rays_d_t = padded(rays_o_t), padded(rays_d_t)
     bc_rgb = padded(bc_rgb)
 
-    def encode(ro, rd):
-        pts = ro[:, None, :] + rd[:, None, :] * z_vals[None, :, None]
-        pe = sincos_posenc(pts.astype(jnp.float32), 10, 2.0)  # [n_pad, S, 60]
-        pe = jnp.concatenate(
-            [pe, jnp.zeros((*pe.shape[:-1], PE_PAD - 60), pe.dtype)], axis=-1
-        ).astype(jnp.bfloat16)
-        # -> (n_slabs, S_SLAB, n_pad, 64), sample-major rows per slab
-        return pe.reshape(n_pad, n_slabs, S_SLAB, PE_PAD).transpose(1, 2, 0, 3)
+    # PE-slot replication: slot c of the 64-wide padded encoding reads
+    # coordinate c % 3 at frequency pi*2^(c//6)/downscale with a +pi/2
+    # phase on the cos half of each frequency block — so the kernel's
+    # entire positional encoding is one fused sin() on (o + d*z).
+    coord_idx = jnp.arange(PE_PAD) % 3
+    slot_valid = (jnp.arange(PE_PAD) < 60).astype(jnp.float32)
 
-    enc_h = encode(rays_o, rays_d)
-    enc_t = encode(rays_o_t, rays_d_t)
+    def replicate(r):
+        return (r[:, coord_idx] * slot_valid).astype(jnp.float32)
+
+    o_h, d_h = replicate(rays_o), replicate(rays_d)
+    o_t, d_t = replicate(rays_o_t), replicate(rays_d_t)
+    freqs = (jnp.pi * (2.0 ** (jnp.arange(PE_PAD) // 6)) / 2.0) * slot_valid
+    phase = jnp.where((jnp.arange(PE_PAD) % 6) >= 3, jnp.pi / 2.0, 0.0) * slot_valid
+    freq_row = freqs[None].astype(jnp.float32)
+    phase_row = phase[None].astype(jnp.float32)
+    # z values live in row 0 of an (8, 128) tile per slab (Mosaic block rule)
+    z_rows = jnp.zeros((n_slabs, 8, 128), jnp.float32).at[:, 0, :S_SLAB].set(
+        z_vals.astype(jnp.float32).reshape(n_slabs, S_SLAB)
+    )
 
     def dists_for(rd):
         diffs = jnp.concatenate(
@@ -339,17 +365,29 @@ def fused_render_rays(
     ]
     weight_specs = [_full(op.shape) for op in weight_ops]
 
+    z_spec = pl.BlockSpec(
+        (1, 8, 128), lambda t, j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    const_spec = pl.BlockSpec(
+        (1, PE_PAD), lambda t, j: (0, 0), memory_space=pltpu.VMEM
+    )
+
     out = pl.pallas_call(
         functools.partial(_render_kernel, n_slabs=n_slabs),
         grid=grid,
         in_specs=[
-            slab_spec(PE_PAD),  # enc_h
-            slab_spec(PE_PAD),  # enc_t
             slab_spec(0),       # dists_h
             slab_spec(0),       # dists_t
+            z_spec,             # z_vals rows
+            tile_spec(PE_PAD),  # o_h
+            tile_spec(PE_PAD),  # d_h
+            tile_spec(PE_PAD),  # o_t
+            tile_spec(PE_PAD),  # d_t
             tile_spec(256),     # vr_h
             tile_spec(256),     # vr_t
             tile_spec(128),     # aux
+            const_spec,         # freq
+            const_spec,         # phase
         ] + weight_specs,
         out_specs=(
             pl.BlockSpec((R_T, 128), lambda t, j: (t, 0), memory_space=pltpu.VMEM),
@@ -366,7 +404,8 @@ def fused_render_rays(
             pltpu.VMEM((R_T, 128), jnp.float32),  # acc_com
         ],
         interpret=interpret,
-    )(enc_h, enc_t, dists_h, dists_t, vr_h, vr_t, aux, *weight_ops)
+    )(dists_h, dists_t, z_rows, o_h, d_h, o_t, d_t, vr_h, vr_t, aux,
+      freq_row, phase_row, *weight_ops)
 
     out_head, out_com = out
     return out_head[:n, 0:3], out_com[:n, 0:3]
