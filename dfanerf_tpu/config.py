@@ -44,6 +44,8 @@ class SignalConfig:
 
     dim_aud: int = 96          # audio(64) + expression(32) concat
     dim_signal: int = 96
+    audio_net: str = "w2l"     # "w2l" ([N,512] wav2exp feats) or
+    # "deepspeech" ([N,16,29] windows through the strided-CNN AudioNet)
     smo_size: int = 4          # audio/exp attention window
     smo_torso_size: int = 8    # pose attention window
     win_size: int = 16         # DeepSpeech window (legacy AudioNet path)

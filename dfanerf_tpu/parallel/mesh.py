@@ -120,7 +120,7 @@ def make_sharded_train_step(cfg: ExperimentConfig, ds: FrameDataset, mesh: Mesh)
         n_valid = jnp.int32(n_train)
         sig = encode_signal(
             state["params"], data["auds"], data["exps"], img_i, n_valid,
-            scfg.smo_size, use_smo,
+            scfg.smo_size, use_smo, scfg.audio_net, scfg.win_size,
         )
         sig_t = encode_signal_torso(
             state["params"], data["poses"], img_i, n_valid,

@@ -67,7 +67,7 @@ def make_multi_identity_train_step(
         if is_speaker:
             signal = encode_signal(
                 params, data["auds"], data["exps"], img_i, n_valid,
-                scfg.smo_size, use_smo,
+                scfg.smo_size, use_smo, scfg.audio_net, scfg.win_size,
             )
         else:
             signal = jnp.zeros((dcfg.dim_signal,))  # unused (listener)

@@ -124,7 +124,7 @@ def encode_frame_signals(
     img_i = jnp.asarray(img_i, jnp.int32)
     sig = encode_signal(
         params, auds, exps, img_i, jnp.int32(n_valid), cfg.signal.smo_size,
-        jnp.asarray(use_smoothing),
+        jnp.asarray(use_smoothing), cfg.signal.audio_net, cfg.signal.win_size,
     )
     sig_t = encode_signal_torso(
         params, poses, img_i, jnp.int32(n_valid), cfg.signal.smo_torso_size,

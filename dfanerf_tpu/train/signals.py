@@ -24,6 +24,7 @@ from dfanerf_tpu.core.geometry import pose_to_euler_trans
 from dfanerf_tpu.core.posenc import et_embed
 from dfanerf_tpu.models.encoders import (
     apply_audio_attnet,
+    apply_audionet_ds,
     apply_audionet_w2l,
     apply_expression_enc,
 )
@@ -50,24 +51,47 @@ def encode_signal(
     n_valid: jnp.ndarray,
     smo_size: int,
     use_smoothing: jnp.ndarray,
+    audio_net: str = "w2l",
+    win_size: int = 16,
 ) -> jnp.ndarray:
     """Audio+expression conditioning for the head field -> [dim_signal].
 
     Both the smoothed (attention over a ``smo_size`` window) and the
     per-frame paths are computed (the window path costs ~smo_size tiny MLP
     evals) and selected by ``use_smoothing`` — branchless staged training.
+
+    audio_net selects the frontend: 'w2l' runs AudioNet_W2L over [N, 512]
+    wav2exp features (the shipped path); 'deepspeech' runs the strided-CNN
+    AudioNet over [N, 16, 29] DeepSpeech windows (the aud.npy path).
     """
+    if audio_net == "deepspeech":
+        def audnet(x):
+            return apply_audionet_ds(params["audnet"], x, win_size=win_size)
+    else:
+        def audnet(x):
+            return apply_audionet_w2l(params["audnet"], x)
+
     # per-frame path
-    aud_1 = apply_audionet_w2l(params["audnet"], auds[img_i])
+    if audio_net == "deepspeech":
+        aud_1 = audnet(auds[img_i][None]).reshape(-1)
+    else:
+        aud_1 = audnet(auds[img_i])
     exp_1 = apply_expression_enc(params["expnet"], exps[img_i])
     plain = jnp.concatenate([aud_1, exp_1], axis=-1)
 
     # smoothed path
-    auds_win = window_gather(auds, img_i, smo_size, n_valid)
+    if audio_net == "deepspeech":
+        half = smo_size // 2
+        idx = img_i - half + jnp.arange(smo_size)
+        valid = (idx >= 0) & (idx < n_valid)
+        auds_win = auds[jnp.clip(idx, 0, auds.shape[0] - 1)]
+        auds_win = auds_win * valid[:, None, None].astype(auds.dtype)
+    else:
+        auds_win = window_gather(auds, img_i, smo_size, n_valid)
     exps_win = window_gather(exps, img_i, smo_size, n_valid)
     feat_win = jnp.concatenate(
         [
-            apply_audionet_w2l(params["audnet"], auds_win),
+            audnet(auds_win),
             apply_expression_enc(params["expnet"], exps_win),
         ],
         axis=-1,

@@ -13,6 +13,7 @@ from dfanerf_tpu.config import ExperimentConfig
 from dfanerf_tpu.core.posenc import nerf_embed_dim
 from dfanerf_tpu.models import (
     init_audio_attnet,
+    init_audionet_ds,
     init_audionet_w2l,
     init_decoder,
     init_expression_enc,
@@ -35,9 +36,17 @@ OPT_GROUPS = (
 def init_train_state(key: jax.Array, cfg: ExperimentConfig) -> TrainState:
     kd, ka, ke, kaa, kpa, kz1, kz2 = jax.random.split(key, 7)
     dim_et = 2 * nerf_embed_dim(cfg.signal.et_multires)
+    if cfg.signal.audio_net == "deepspeech":
+        # AudioNet over [N,16,29] windows; 32 dims of the signal come from
+        # the expression encoder (shipped AD-NeRF-style configuration)
+        audnet = init_audionet_ds(
+            ka, dim_aud=cfg.signal.dim_signal - 32, win_size=cfg.signal.win_size
+        )
+    else:
+        audnet = init_audionet_w2l(ka)
     params = {
         "decoder": init_decoder(kd, cfg.decoder),
-        "audnet": init_audionet_w2l(ka),
+        "audnet": audnet,
         "expnet": init_expression_enc(ke),
         "audattnet": init_audio_attnet(
             kaa, dim_aud=cfg.signal.dim_aud, seq_len=cfg.signal.smo_size

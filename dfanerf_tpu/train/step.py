@@ -94,7 +94,8 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset):
     def loss_fn(params, state, data, img_i, coords, z_vals, use_smo):
         n_valid = jnp.int32(n_train)
         signal = encode_signal(
-            params, data["auds"], data["exps"], img_i, n_valid, scfg.smo_size, use_smo
+            params, data["auds"], data["exps"], img_i, n_valid, scfg.smo_size,
+            use_smo, scfg.audio_net, scfg.win_size,
         )
         signal_torso = encode_signal_torso(
             params,

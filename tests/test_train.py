@@ -123,3 +123,36 @@ class TestSignals:
         # right boundary honors n_valid (reference passes len(i_train))
         w = window_gather(arr, jnp.int32(7), 4, jnp.int32(8))
         assert float(jnp.abs(w[-1]).max()) == 0.0  # index 8 >= n_valid
+
+
+class TestDeepSpeechAudioPath:
+    def test_train_step_with_deepspeech_windows(self):
+        """--aud_file aud.npy configuration: [N,16,29] windows through the
+        strided-CNN AudioNet (dim_aud 64) + ExpressionEnc (32) -> 96-dim
+        signal, same decoder."""
+        import dataclasses
+
+        from dfanerf_tpu.config import ExperimentConfig, RenderConfig, SignalConfig, TrainConfig
+
+        cfg = ExperimentConfig(
+            train=TrainConfig(n_rand=128),
+            render=RenderConfig(n_samples=8),
+            signal=SignalConfig(audio_net="deepspeech"),
+        )
+        ds = make_synthetic_dataset(n_frames=8, H=24, W=24, n_samples_gt=16)
+        # replace wav2exp features with DeepSpeech-shaped windows
+        rng = np.random.RandomState(0)
+        ds = dataclasses.replace(
+            ds, auds=rng.randn(ds.n_frames, 16, 29).astype(np.float32)
+        )
+        state = init_train_state(jax.random.PRNGKey(0), cfg)
+        data = dataset_to_device(ds)
+        step = make_train_step(cfg, ds)
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(30):
+            key, sub = jax.random.split(key)
+            state, m = step(state, data, sub)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
