@@ -370,3 +370,47 @@ def flow_on_crops(
         f = f + np.array([x1t - x1s, y1t - y1s], np.float32)
         out[i, y1s:y2s, x1s:x2s] = f
     return out
+
+
+# --- ImportanceWeights (UNFaceFlow refinement head) -----------------------------
+
+
+def init_importance_weights(key: jax.Array, in_dim: int = 128) -> Params:
+    """network_test_flow.py:21-57: conv(in_dim->16) on the RAFT update
+    feature, concat with the 6-channel image pair, 1 conv block + 3
+    res-blocks at 16ch, 1-channel sigmoid head."""
+    ks = jax.random.split(key, 10)
+    ki = iter(ks)
+
+    def conv(cin, cout, k=3):
+        import math
+
+        fan = cin * k * k
+        bound = 1.0 / math.sqrt(fan)
+        k1, k2 = jax.random.split(next(ki))
+        return {
+            "w": jax.random.uniform(k1, (k, k, cin, cout), jnp.float32, -bound, bound),
+            "b": jax.random.uniform(k2, (cout,), jnp.float32, -bound, bound),
+        }
+
+    return {
+        "conv1": conv(in_dim, 16),
+        "block0": conv(22, 16),
+        "res": [[conv(16, 16), conv(16, 16)] for _ in range(3)],
+        "head": conv(16, 1),
+    }
+
+
+def apply_importance_weights(params: Params, images6: jnp.ndarray,
+                             feature: jnp.ndarray) -> jnp.ndarray:
+    """images6 [N, H, W, 6] (src+tar pair), feature [N, H, W, in_dim] ->
+    [N, H, W, 1] weights in (0, 1). BatchNorm disabled (the reference's
+    use_batch_norm=False Identity path)."""
+    f = conv2d(params["conv1"], feature, padding=1)
+    x = jnp.concatenate([f, images6], axis=-1)
+    x = jax.nn.relu(conv2d(params["block0"], x, padding=1))
+    for r0, r1 in params["res"]:
+        y = jax.nn.relu(conv2d(r0, x, padding=1))
+        y = conv2d(r1, y, padding=1)
+        x = jax.nn.relu(x + y)
+    return jax.nn.sigmoid(conv2d(params["head"], x, padding=1))

@@ -144,7 +144,7 @@ def _render_kernel(
     out_head_ref, out_com_ref,
     # scratch
     t_head, t_com, acc_head, acc_com,
-    *, n_slabs: int,
+    *, n_slabs: int, ert_eps: float,
 ):
     j = pl.program_id(1)
     rows = S_SLAB * R_T
@@ -180,80 +180,92 @@ def _render_kernel(
             encs.append(jnp.sin(pts * freq + ph))
         return jnp.concatenate(encs, axis=0).astype(jnp.bfloat16)
 
-    # --- head field ---
-    pe_h = encode(o_h_ref, d_h_ref)
-    sf_h = trunk(pe_h, hw_in, hb_in, hw_blocks, hb_blocks, hw_skip, hb_skip,
-                 hw_sf, hb_sf)
-    vr_h = jnp.broadcast_to(vr_h_ref[:][None], (S_SLAB, R_T, 256)).reshape(rows, 256)
-    net_h = jnp.maximum(sf_h[:, 128:384] + vr_h.astype(jnp.float32), 0.0)
-    rgb_h = jax.nn.sigmoid(
-        _mm(net_h.astype(jnp.bfloat16), hw_out[:]) + hb_out[:]
-    )  # [rows, 128]; cols 0:3 valid
-    sigma_h = jnp.maximum(sf_h[:, 0:1], 0.0)
+    # early ray termination: when every ray in this tile has exhausted its
+    # transmittance in BOTH stacks, the remaining slabs can contribute at
+    # most ert_eps per channel — skip their entire field evaluation. The
+    # final slab always runs (it carries the background-concat sample).
+    # ert_eps == 0.0 disables the skip exactly (transmittance stays > 0).
+    alive = (
+        jnp.maximum(jnp.max(t_head[:]), jnp.max(t_com[:])) > ert_eps
+    ) | (j == n_slabs - 1)
 
-    # --- torso field: deform then trunk ---
-    pe_t = encode(o_t_ref, d_t_ref)
-    dh = jnp.maximum(_mm(pe_t, d_w1[:]) + d_b1[:], 0.0).astype(jnp.bfloat16)
-    for i in range(4):
-        dh = jnp.maximum(_mm(dh, d_wk[i]) + d_bk[i], 0.0)
-        if i == 2:
-            dh = dh + _mm(pe_t, d_wskip[:]) + d_bskip[:]
-        dh = dh.astype(jnp.bfloat16)
-    d_out = _mm(dh, d_wout[:]) + d_bout[:]  # [rows, 128] f32
-    pe_t128 = jnp.concatenate([pe_t.astype(jnp.float32),
-                               jnp.zeros_like(pe_t, jnp.float32)], axis=-1)
-    p2 = (d_out + sig_pad[:] + pe_t128).astype(jnp.bfloat16)
-    sf_t = trunk(p2, tw_in, tb_in, tw_blocks, tb_blocks, tw_skip, tb_skip,
-                 tw_sf, tb_sf)
-    vr_t = jnp.broadcast_to(vr_t_ref[:][None], (S_SLAB, R_T, 256)).reshape(rows, 256)
-    net_t = jnp.maximum(sf_t[:, 128:384] + vr_t.astype(jnp.float32), 0.0)
-    rgb_t = jax.nn.sigmoid(
-        _mm(net_t.astype(jnp.bfloat16), tw_out[:]) + tb_out[:]
-    )
-    sigma_t = jnp.maximum(sf_t[:, 0:1], 0.0)
+    @pl.when(alive)
+    def _slab_body():
+        # --- head field ---
+        pe_h = encode(o_h_ref, d_h_ref)
+        sf_h = trunk(pe_h, hw_in, hb_in, hw_blocks, hb_blocks, hw_skip, hb_skip,
+                     hw_sf, hb_sf)
+        vr_h = jnp.broadcast_to(vr_h_ref[:][None], (S_SLAB, R_T, 256)).reshape(rows, 256)
+        net_h = jnp.maximum(sf_h[:, 128:384] + vr_h.astype(jnp.float32), 0.0)
+        rgb_h = jax.nn.sigmoid(
+            _mm(net_h.astype(jnp.bfloat16), hw_out[:]) + hb_out[:]
+        )  # [rows, 128]; cols 0:3 valid
+        sigma_h = jnp.maximum(sf_h[:, 0:1], 0.0)
 
-    # --- in-register compositing, sample by sample ---
-    bc = aux_ref[:].astype(jnp.float32)  # [R_T, 128]; cols 0:3 = bg pixel
-    th = t_head[:]
-    tc = t_com[:]
-    ah = acc_head[:]
-    ac = acc_com[:]
-    for s in range(S_SLAB):
-        sel = slice(s * R_T, (s + 1) * R_T)
-        sh = sigma_h[sel]
-        st = sigma_t[sel]
-        ch = rgb_h[sel]
-        ct = rgb_t[sel]
-        dh_s = dists_h_ref[0, s, :][:, None]
-        dt_s = dists_t_ref[0, s, :][:, None]
-        is_last = (j == n_slabs - 1) & (s == S_SLAB - 1)
-        lastf = is_last.astype(jnp.float32)
-        # bg-concat: head color at the last sample is the background pixel
-        ch = ch * (1.0 - lastf) + bc * lastf
-        # head-only stack: +1e-6 bump on the last head density
-        sh_head = sh + 1e-6 * lastf
-        # composite stack: torso last density := 0 then +1e-6 bump
-        st_com = st * (1.0 - lastf) + 1e-6 * lastf
+        # --- torso field: deform then trunk ---
+        pe_t = encode(o_t_ref, d_t_ref)
+        dh = jnp.maximum(_mm(pe_t, d_w1[:]) + d_b1[:], 0.0).astype(jnp.bfloat16)
+        for i in range(4):
+            dh = jnp.maximum(_mm(dh, d_wk[i]) + d_bk[i], 0.0)
+            if i == 2:
+                dh = dh + _mm(pe_t, d_wskip[:]) + d_bskip[:]
+            dh = dh.astype(jnp.bfloat16)
+        d_out = _mm(dh, d_wout[:]) + d_bout[:]  # [rows, 128] f32
+        pe_t128 = jnp.concatenate([pe_t.astype(jnp.float32),
+                                   jnp.zeros_like(pe_t, jnp.float32)], axis=-1)
+        p2 = (d_out + sig_pad[:] + pe_t128).astype(jnp.bfloat16)
+        sf_t = trunk(p2, tw_in, tb_in, tw_blocks, tb_blocks, tw_skip, tb_skip,
+                     tw_sf, tb_sf)
+        vr_t = jnp.broadcast_to(vr_t_ref[:][None], (S_SLAB, R_T, 256)).reshape(rows, 256)
+        net_t = jnp.maximum(sf_t[:, 128:384] + vr_t.astype(jnp.float32), 0.0)
+        rgb_t = jax.nn.sigmoid(
+            _mm(net_t.astype(jnp.bfloat16), tw_out[:]) + tb_out[:]
+        )
+        sigma_t = jnp.maximum(sf_t[:, 0:1], 0.0)
 
-        alpha_h = 1.0 - jnp.exp(-(sh_head + 1e-6) * dh_s)
-        ah = ah + (alpha_h * th) * ch
-        th = th * (1.0 - alpha_h + 1e-10)
+        # --- in-register compositing, sample by sample ---
+        bc = aux_ref[:].astype(jnp.float32)  # [R_T, 128]; cols 0:3 = bg pixel
+        th = t_head[:]
+        tc = t_com[:]
+        ah = acc_head[:]
+        ac = acc_com[:]
+        for s in range(S_SLAB):
+            sel = slice(s * R_T, (s + 1) * R_T)
+            sh = sigma_h[sel]
+            st = sigma_t[sel]
+            ch = rgb_h[sel]
+            ct = rgb_t[sel]
+            dh_s = dists_h_ref[0, s, :][:, None]
+            dt_s = dists_t_ref[0, s, :][:, None]
+            is_last = (j == n_slabs - 1) & (s == S_SLAB - 1)
+            lastf = is_last.astype(jnp.float32)
+            # bg-concat: head color at the last sample is the background pixel
+            ch = ch * (1.0 - lastf) + bc * lastf
+            # head-only stack: +1e-6 bump on the last head density
+            sh_head = sh + 1e-6 * lastf
+            # composite stack: torso last density := 0 then +1e-6 bump
+            st_com = st * (1.0 - lastf) + 1e-6 * lastf
 
-        ssum = sh + st_com
-        denom = jnp.where(ssum == 0.0, 1e-4, ssum)
-        c_mix = (sh * ch + st_com * ct) / denom
-        alpha_c = 1.0 - jnp.exp(-(ssum + 1e-6) * dt_s)
-        ac = ac + (alpha_c * tc) * c_mix
-        tc = tc * (1.0 - alpha_c + 1e-10)
-    t_head[:] = th
-    t_com[:] = tc
-    acc_head[:] = ah
-    acc_com[:] = ac
+            alpha_h = 1.0 - jnp.exp(-(sh_head + 1e-6) * dh_s)
+            ah = ah + (alpha_h * th) * ch
+            th = th * (1.0 - alpha_h + 1e-10)
+
+            ssum = sh + st_com
+            denom = jnp.where(ssum == 0.0, 1e-4, ssum)
+            c_mix = (sh * ch + st_com * ct) / denom
+            alpha_c = 1.0 - jnp.exp(-(ssum + 1e-6) * dt_s)
+            ac = ac + (alpha_c * tc) * c_mix
+            tc = tc * (1.0 - alpha_c + 1e-10)
+        t_head[:] = th
+        t_com[:] = tc
+        acc_head[:] = ah
+        acc_com[:] = ac
+
 
     @pl.when(j == n_slabs - 1)
     def _write():
-        out_head_ref[:] = ah
-        out_com_ref[:] = ac
+        out_head_ref[:] = acc_head[:]
+        out_com_ref[:] = acc_com[:]
 
 
 def _full(shape=None):
@@ -273,6 +285,7 @@ def fused_render_rays(
     bc_rgb: jnp.ndarray,
     last_dist: float = 1e10,
     interpret: bool = False,
+    ert_eps: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render n rays through both packed fields with the fused kernel.
 
@@ -373,7 +386,7 @@ def fused_render_rays(
     )
 
     out = pl.pallas_call(
-        functools.partial(_render_kernel, n_slabs=n_slabs),
+        functools.partial(_render_kernel, n_slabs=n_slabs, ert_eps=ert_eps),
         grid=grid,
         in_specs=[
             slab_spec(0),       # dists_h

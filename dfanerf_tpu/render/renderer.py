@@ -61,7 +61,7 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
                 pw_h, pw_t,
                 rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
                 rays_o_t.reshape(-1, 3), rays_d_t.reshape(-1, 3),
-                z_vals, bc, last_dist=rcfg.last_dist,
+                z_vals, bc, last_dist=rcfg.last_dist, ert_eps=rcfg.ert_eps,
             )
             return rgb_head.reshape(H, W, 3), rgb_com.reshape(H, W, 3)
 

@@ -111,3 +111,26 @@ class TestFusedKernel:
         h2, c2 = self._run(d2, jnp.bfloat16)
         np.testing.assert_allclose(np.asarray(h2), np.asarray(h1[:257]), atol=1e-6)
         np.testing.assert_allclose(np.asarray(c2), np.asarray(c1[:257]), atol=1e-6)
+
+
+class TestEarlyRayTermination:
+    def test_ert_matches_on_saturating_field(self, setup):
+        """With a density-saturating field (huge sigma bias) ERT must skip
+        slabs without changing the render beyond the eps bound."""
+        d = dict(setup)
+        params = jax.tree.map(lambda x: x, d["params"])
+        params["sigma_out"]["b"] = jnp.full((1,), 200.0)
+        pw_h = pack_field_weights(
+            params, CFG, d["sig_h"], d["z_s"], d["z_a"], "head",
+            param_dtype=jnp.float32,
+        )
+        pw_t = pack_field_weights(
+            params, CFG, d["sig_t"], d["z_s"], d["z_a"], "torso",
+            param_dtype=jnp.float32,
+        )
+        args = (pw_h, pw_t, d["rays_o"], d["rays_d"], d["rays_o_t"],
+                d["rays_d_t"], d["z_vals1"], d["bc"])
+        h0, c0 = fused_render_rays(*args, interpret=True, ert_eps=0.0)
+        h1, c1 = fused_render_rays(*args, interpret=True, ert_eps=1e-4)
+        assert float(jnp.abs(h1 - h0).max()) < 1e-4
+        assert float(jnp.abs(c1 - c0).max()) < 1e-4
