@@ -38,6 +38,10 @@ class RenderConfig:
     # tile's remaining sample slabs once every transmittance falls below
     # this (residual contribution bound; 0 disables). ~3x serving speedup
     # on converged models; exact no-op while densities are near zero.
+    occ_sigma_thresh: float = 0.0  # fused-kernel empty-space skipping: skip
+    # sample slabs where neither field's density reaches this anywhere in
+    # the tile (per-frame coarse-grid occupancy, 1-voxel dilated). 0 = off.
+    # Alphas in skipped slabs are bounded by thresh * slab_span.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -38,10 +38,17 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
     n_pad = n_tiles * tile - n_pix
 
     if rcfg.use_fused_kernel:
-        from dfanerf_tpu.ops.fused_render import fused_render_rays
+        from dfanerf_tpu.ops.fused_render import (
+            compute_occupancy_flags,
+            fused_render_rays,
+            spatial_tile_permutation,
+        )
         from dfanerf_tpu.ops.pack import pack_field_weights
 
         assert rcfg.concate_bg and rcfg.n_samples % 8 == 0
+        # spatially-coherent tiles: one 16x16 pixel block per kernel tile so
+        # slab skipping (ERT / occupancy) sees solid regions, not scanlines
+        perm = spatial_tile_permutation(H, W)
 
         @jax.jit
         def render_frame_fused(params, z_shape, z_app, pose, pose_torso,
@@ -50,6 +57,13 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
             rays_o_t, rays_d_t = get_rays(H, W, focal, pose_torso, cx, cy)
             z_vals = jnp.linspace(near, far, rcfg.n_samples)
             bc = bc_img.reshape(-1, 3).astype(jnp.float32) / 255.0
+
+            ro = rays_o.reshape(-1, 3)[perm]
+            rd = rays_d.reshape(-1, 3)[perm]
+            ro_t = rays_o_t.reshape(-1, 3)[perm]
+            rd_t = rays_d_t.reshape(-1, 3)[perm]
+            bc_p = bc[perm]
+
             pw_h = pack_field_weights(
                 params["decoder"], dcfg, signal, z_shape[0], z_app[0], "head"
             )
@@ -57,12 +71,19 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
                 params["decoder"], dcfg, signal_torso, z_shape[1], z_app[1],
                 "torso",
             )
-            rgb_head, rgb_com = fused_render_rays(
-                pw_h, pw_t,
-                rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
-                rays_o_t.reshape(-1, 3), rays_d_t.reshape(-1, 3),
-                z_vals, bc, last_dist=rcfg.last_dist, ert_eps=rcfg.ert_eps,
+            occ = None
+            if rcfg.occ_sigma_thresh > 0:
+                occ = compute_occupancy_flags(
+                    pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals,
+                    rcfg.occ_sigma_thresh,
+                )
+            rgb_head_p, rgb_com_p = fused_render_rays(
+                pw_h, pw_t, ro, rd, ro_t, rd_t,
+                z_vals, bc_p, last_dist=rcfg.last_dist, ert_eps=rcfg.ert_eps,
+                occupancy=occ,
             )
+            rgb_head = jnp.zeros((H * W, 3)).at[perm].set(rgb_head_p)
+            rgb_com = jnp.zeros((H * W, 3)).at[perm].set(rgb_com_p)
             return rgb_head.reshape(H, W, 3), rgb_com.reshape(H, W, 3)
 
         return render_frame_fused
