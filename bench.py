@@ -78,6 +78,25 @@ def main():
     out.block_until_ready()
     dt = time.time() - t0
 
+    # training throughput: the shipped schedule is 600k steps of 2048 rays
+    # x 64 samples x 2 fields — steps/sec decides wall-clock to a trained
+    # model (the reference runs this single-GPU for days)
+    from dfanerf_tpu.train import make_train_step
+
+    step = make_train_step(cfg, ds)
+    key = jax.random.PRNGKey(7)
+    st = init_train_state(jax.random.PRNGKey(1), cfg)
+    key, sub = jax.random.split(key)
+    st, m = step(st, data, sub)  # compile
+    jax.block_until_ready(m["loss"])
+    t1 = time.time()
+    n_steps = 100
+    for _ in range(n_steps):
+        key, sub = jax.random.split(key)
+        st, m = step(st, data, sub)
+    jax.block_until_ready(m["loss"])
+    steps_per_sec = n_steps / (time.time() - t1)
+
     fps = n_frames_bench / dt
     mrays = fps * H * W / 1e6  # rays/frame through the 2-field pipeline
     result = {
@@ -87,6 +106,8 @@ def main():
         "vs_baseline": round(fps / 30.0, 4),
         "extra": {
             "Mrays_per_sec_per_chip": round(mrays, 3),
+            "train_steps_per_sec_2048rays": round(steps_per_sec, 2),
+            "shipped_600k_schedule_hours": round(600_000 / steps_per_sec / 3600, 2),
             "device": str(jax.devices()[0]),
             "n_frames": n_frames_bench,
         },

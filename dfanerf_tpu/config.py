@@ -42,6 +42,9 @@ class RenderConfig:
     # sample slabs where neither field's density reaches this anywhere in
     # the tile (per-frame coarse-grid occupancy, 1-voxel dilated). 0 = off.
     # Alphas in skipped slabs are bounded by thresh * slab_span.
+    spatial_tiles: bool = False  # map 16x16 pixel blocks to kernel ray tiles
+    # (pays only when ERT/occupancy can skip solid blocks; costs ~6% ray
+    # padding otherwise, so off unless serving a converged sparse model)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -72,11 +72,11 @@ def pack_field_weights(
           w_out [256,128], b_out [128]    (rgb cols 0:3)
           w_view [24,256]                 (per-ray, applied OUTSIDE kernel)
           b_view_zapp — folded into b_sf's feat part already
-          torso extra: d_w1 [64,128], d_b1 [128], d_wk [3,128,128],
-          d_bk [3,128], d_wskip [64,128], d_bskip [128],
-          d_wout [128,128(102)], d_bout [102-pad128],
-          w_in_sig [128(42),256]          (deformed-signal path into fc_in)
-          w_skip_sig [128(42),256]
+          torso extras: w_in/w_skip become [128,256] (pe rows 0:60, signal
+          rows 60:102 — the deformed signal varies per point), plus the
+          block-diagonal deform net d_w1 [64,128], d_b1 [128],
+          d_wk [4,128,128], d_bk [4,128], d_wskip [64,128], d_bskip [128],
+          d_wout [128,128(102 valid)], d_bout [128], sig_pad [128].
     """
     assert branch in ("head", "torso")
     def _cast(w):

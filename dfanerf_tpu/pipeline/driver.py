@@ -167,7 +167,7 @@ class PipelineDriver:
         hr = hrnet_from_torch(torch.load(self.assets.hrnet_pth, map_location="cpu"))
         paths = sorted(glob(os.path.join(self.id_dir, "ori_imgs", "*.jpg")))
         est = PoseEstimator((self.dst_size, self.dst_size), self.assets.pose_model_txt)
-        all_lms, ids, poses = [], [], []
+        all_lms, ids, poses, scores = [], [], [], []
         for p in paths:
             img = _imread(p)
             h, w = img.shape[:2]
@@ -175,6 +175,7 @@ class PipelineDriver:
             dets = detect_faces(bf, anchors, small[None])[0]
             if len(dets) == 0:
                 continue
+            scores.append(float(dets[0, 16]))
             y0, x0, y1, x1 = dets[0, :4] * np.array([h, w, h, w])
             cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
             size = max(y1 - y0, x1 - x0) * 1.5
@@ -192,6 +193,14 @@ class PipelineDriver:
         all_lms = np.stack(all_lms)
         if smooth_lms:
             all_lms = landmark_gaussian_smooth(all_lms, 1.5, area="only_jaw")
+        # QA: frames whose detection confidence was low (the reference's
+        # low_score_idxes list, demo...save.py:777-779,1114)
+        low_score = [i for i, s in zip(ids, scores) if s < 0.9]
+        if low_score:
+            np.savetxt(
+                os.path.join(self.id_dir, "low_score_frames.txt"),
+                np.asarray(low_score, np.int32), "%d",
+            )
         for i, lms in zip(ids, all_lms):
             np.savetxt(
                 os.path.join(self.id_dir, "ori_imgs", f"{i:06d}.lms"), lms, "%f"

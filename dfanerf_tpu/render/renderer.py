@@ -48,7 +48,8 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
         assert rcfg.concate_bg and rcfg.n_samples % 8 == 0
         # spatially-coherent tiles: one 16x16 pixel block per kernel tile so
         # slab skipping (ERT / occupancy) sees solid regions, not scanlines
-        perm = spatial_tile_permutation(H, W)
+        use_tiles = rcfg.spatial_tiles or rcfg.occ_sigma_thresh > 0
+        perm = spatial_tile_permutation(H, W) if use_tiles else None
 
         @jax.jit
         def render_frame_fused(params, z_shape, z_app, pose, pose_torso,
@@ -58,11 +59,14 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
             z_vals = jnp.linspace(near, far, rcfg.n_samples)
             bc = bc_img.reshape(-1, 3).astype(jnp.float32) / 255.0
 
-            ro = rays_o.reshape(-1, 3)[perm]
-            rd = rays_d.reshape(-1, 3)[perm]
-            ro_t = rays_o_t.reshape(-1, 3)[perm]
-            rd_t = rays_d_t.reshape(-1, 3)[perm]
-            bc_p = bc[perm]
+            def maybe_perm(x):
+                return x[perm] if perm is not None else x
+
+            ro = maybe_perm(rays_o.reshape(-1, 3))
+            rd = maybe_perm(rays_d.reshape(-1, 3))
+            ro_t = maybe_perm(rays_o_t.reshape(-1, 3))
+            rd_t = maybe_perm(rays_d_t.reshape(-1, 3))
+            bc_p = maybe_perm(bc)
 
             pw_h = pack_field_weights(
                 params["decoder"], dcfg, signal, z_shape[0], z_app[0], "head"
@@ -82,8 +86,11 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
                 z_vals, bc_p, last_dist=rcfg.last_dist, ert_eps=rcfg.ert_eps,
                 occupancy=occ,
             )
-            rgb_head = jnp.zeros((H * W, 3)).at[perm].set(rgb_head_p)
-            rgb_com = jnp.zeros((H * W, 3)).at[perm].set(rgb_com_p)
+            if perm is not None:
+                rgb_head = jnp.zeros((H * W, 3)).at[perm].set(rgb_head_p)
+                rgb_com = jnp.zeros((H * W, 3)).at[perm].set(rgb_com_p)
+            else:
+                rgb_head, rgb_com = rgb_head_p, rgb_com_p
             return rgb_head.reshape(H, W, 3), rgb_com.reshape(H, W, 3)
 
         return render_frame_fused
