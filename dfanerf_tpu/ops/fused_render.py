@@ -17,9 +17,11 @@ NeRF fields and composites in-register:
   density, +1e-6 bumps per stack — run_nerf_com_trainExpLater.py:863-886)
   are applied at the final (tile, slab) step from a per-ray aux input.
 
-The sample-slab march is the scaffolding for the round-2 algorithmic wins:
-early ray termination (skip a slab when every carried transmittance is
-~0) and occupancy skipping slot naturally into the slab loop.
+The slab march carries two skip mechanisms (both bounded-error, both able
+to skip a slab's entire field evaluation): early ray termination on the
+carried transmittances (ert_eps) and caller-provided per-(tile, slab)
+occupancy flags delivered via scalar prefetch (see
+compute_occupancy_flags for the conservativeness caveats).
 """
 
 from __future__ import annotations
