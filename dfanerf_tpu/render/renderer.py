@@ -138,6 +138,51 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
     return render_frame
 
 
+def make_head_hierarchical_renderer(
+    cfg: ExperimentConfig, hwfcxy, near: float, far: float
+):
+    """Head-only coarse+fine full-frame renderer (BASELINE config 2:
+    64 coarse + n_importance fine samples, --N_importance path).
+
+    Returns render(params, z_shape, z_app, pose, signal, bc_img_u8)
+    -> rgb [H, W, 3]."""
+    from dfanerf_tpu.render.fields import render_head_hierarchical
+
+    H, W, focal, cx, cy = hwfcxy
+    H, W = int(H), int(W)
+    rcfg, dcfg = cfg.render, cfg.decoder
+    assert rcfg.n_importance > 0
+    tile = min(rcfg.tile_rays, H * W)
+    n_pix = H * W
+    n_tiles = -(-n_pix // tile)
+    n_pad = n_tiles * tile - n_pix
+
+    @jax.jit
+    def render(params, z_shape, z_app, pose, signal, bc_img):
+        rays_o, rays_d = get_rays(H, W, focal, pose, cx, cy)
+        bc = bc_img.reshape(-1, 3).astype(jnp.float32) / 255.0
+
+        def pad_tile(x):
+            x = x.reshape(n_pix, -1)
+            x = jnp.concatenate([x, jnp.zeros((n_pad, x.shape[-1]), x.dtype)], 0)
+            return x.reshape(n_tiles, tile, -1)
+
+        ro, rd, bcp = pad_tile(rays_o), pad_tile(rays_d), pad_tile(bc)
+        z_vals = stratified_z_vals(near, far, tile, rcfg.n_samples)
+
+        def body(args):
+            o, d, b = args
+            return render_head_hierarchical(
+                params["decoder"], dcfg, rcfg, o, d, z_vals,
+                signal, z_shape[0], z_app[0], b,
+            )
+
+        rgb = jax.lax.map(body, (ro, rd, bcp))
+        return rgb.reshape(-1, 3)[:n_pix].reshape(H, W, 3)
+
+    return render
+
+
 def encode_frame_signals(
     params,
     auds: jnp.ndarray,

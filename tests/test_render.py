@@ -84,3 +84,23 @@ class TestFrameRenderer:
         corner = imgs[0, 0, 0] / 255.0
         bc = ds.bc_img[0, 0].astype(np.float32) / 255.0
         assert np.abs(corner - bc).max() < 0.05  # corner ray = background
+
+
+class TestHierarchicalRenderer:
+    def test_head_coarse_fine_frame(self, setup):
+        import dataclasses
+
+        cfg, ds, state, data = setup
+        cfg2 = dataclasses.replace(
+            cfg, render=dataclasses.replace(
+                cfg.render, n_importance=16, tile_rays=128
+            )
+        )
+        from dfanerf_tpu.render.renderer import make_head_hierarchical_renderer
+
+        render = make_head_hierarchical_renderer(cfg2, ds.hwfcxy, ds.near, ds.far)
+        sig = jnp.zeros((cfg.decoder.dim_signal,))
+        out = render(state["params"], state["z_shape"], state["z_app"],
+                     data["poses"][0], sig, data["bc_img"])
+        assert out.shape == (24, 24, 3)
+        assert bool(jnp.isfinite(out).all())
