@@ -15,7 +15,7 @@ a local ``_np`` so this module never requires torch at import time.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping
 
 import numpy as np
 import jax.numpy as jnp

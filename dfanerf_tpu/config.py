@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional, Tuple
+from typing import Tuple
 
 from dfanerf_tpu.models.decoder import DecoderConfig
 

@@ -13,7 +13,6 @@ Conventions follow the reference exactly:
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax.numpy as jnp
 

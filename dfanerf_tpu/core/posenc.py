@@ -19,7 +19,6 @@ run_nerf_helpers.py:21-70):
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax.numpy as jnp
 

@@ -12,7 +12,7 @@ commented out at blazeface.py:253-256).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Mapping, Tuple
+from typing import Any, Dict, List, Mapping
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,7 @@ torch OIHW weights onto these), plus torch-compatible initializers."""
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Mapping, Sequence, Tuple
+from typing import Dict, Mapping, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ upsampling decoder blocks.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Mapping
+from typing import Any, Dict, Mapping
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ compute_occupancy_flags for the conservativeness caveats).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dfanerf_tpu.core.posenc import sincos_posenc
-from dfanerf_tpu.models.decoder import DecoderConfig
 
 R_T = 256      # rays per tile
 S_SLAB = 8     # samples marched per grid step

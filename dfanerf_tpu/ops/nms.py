@@ -16,7 +16,6 @@ greedy suppression at IoU >= thresh with +1 pixel-inclusive box areas.
 from __future__ import annotations
 
 import ctypes
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ second mesh axis; see make_mesh(axes=...).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

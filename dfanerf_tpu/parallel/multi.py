@@ -14,7 +14,7 @@ order matters for exactness)."""
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ Plus the feature-window utilities (50 fps -> video fps interpolation and
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ running statistics.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ Inference (pipeline step 10) maps per-frame exp params to
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Tuple
 
 import jax

@@ -31,7 +31,7 @@ import json
 import os
 import subprocess
 from glob import glob
-from typing import Dict, List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -7,7 +7,7 @@ driving sequence + static-pose variant) and generate_multi_hps_json.py
 from __future__ import annotations
 
 import copy
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -22,7 +22,7 @@ step; pipeline/driver.py wires them to the on-disk dataset contract.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

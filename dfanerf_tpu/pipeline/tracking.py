@@ -19,7 +19,6 @@ exp reg x0.5, id/exp optimizers gated to iter > 1000, Adam lr 0.3
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, NamedTuple, Tuple
 
 import jax

@@ -15,7 +15,7 @@ Reimplements the reference's ``encode_signal`` / ``encode_signal_torso``
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

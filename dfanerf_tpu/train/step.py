@@ -15,7 +15,7 @@ py:738-931) with every host-side inefficiency removed:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
