@@ -159,3 +159,43 @@ class TestGhostNetEye:
         np.testing.assert_allclose(
             ours, ref.transpose(0, 2, 3, 1), atol=5e-4, rtol=1e-3
         )
+
+
+class TestMobileNetV2:
+    def test_heatmap_head_shapes(self):
+        from dfanerf_tpu.models.perception.mobilenet import (
+            apply_face_mobilenet_heatmap, init_face_mobilenet_heatmap,
+        )
+
+        params = init_face_mobilenet_heatmap(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 128, 128, 3))
+        out = apply_face_mobilenet_heatmap(params, x)
+        assert out.shape == (1, 16, 16, 68)
+
+    @needs_reference
+    def test_backbone_parity_vs_reference(self):
+        import os, sys
+
+        sys.path.insert(
+            0, os.path.join(REFERENCE_ROOT, "data_util", "face-alignment", "lib")
+        )
+        import torch
+        # import via package path so the relative `.mobile_head` import works
+        import importlib
+        models_pkg = importlib.import_module("models.face_mobilenet")
+        TorchMobileNetV2 = models_pkg.MobileNetV2
+
+        from dfanerf_tpu.models.perception.mobilenet import (
+            apply_mobilenet_v2, mobilenet_v2_from_torch,
+        )
+
+        torch.manual_seed(0)
+        net = TorchMobileNetV2(cfg=None).eval()
+        params = mobilenet_v2_from_torch(net.state_dict())
+        x = np.random.RandomState(0).randn(1, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.tensor(x)).numpy()
+        ours = np.asarray(apply_mobilenet_v2(params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+        np.testing.assert_allclose(
+            ours, ref.transpose(0, 2, 3, 1), atol=5e-4, rtol=1e-3
+        )
