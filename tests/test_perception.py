@@ -181,6 +181,9 @@ class TestMobileNetV2:
         )
         import torch
         # import via package path so the relative `.mobile_head` import works
+        # (clearing any other reference tree's 'models' package first)
+        for k in [k for k in sys.modules if k == "models" or k.startswith("models.")]:
+            del sys.modules[k]
         import importlib
         models_pkg = importlib.import_module("models.face_mobilenet")
         TorchMobileNetV2 = models_pkg.MobileNetV2

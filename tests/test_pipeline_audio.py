@@ -93,6 +93,10 @@ class TestWav2Exp:
     def test_encoder_parity_vs_torch(self):
         import sys, os
 
+        # both reference trees expose a top-level 'models' package; drop any
+        # previously-imported one (e.g. face-alignment's) before importing
+        for k in [k for k in sys.modules if k == "models" or k.startswith("models.")]:
+            del sys.modules[k]
         sys.path.insert(0, os.path.join(REFERENCE_ROOT, "data_util", "wav2exp"))
         import torch
         from models.audioEnc import AudioEncoder
