@@ -24,7 +24,10 @@ import jax.numpy as jnp
 def _np(x) -> np.ndarray:
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
-    return np.asarray(x, dtype=np.float32)
+    # always COPY: torch .numpy() views share storage with the live model,
+    # and jnp.asarray on CPU may alias numpy buffers — without the copy a
+    # later in-place torch update would silently mutate converted params
+    return np.array(x, dtype=np.float32)
 
 
 def _lin(sd: Mapping[str, Any], name: str) -> Dict[str, jnp.ndarray]:

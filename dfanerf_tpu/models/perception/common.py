@@ -15,7 +15,7 @@ import numpy as np
 def _np32(x):
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
-    return np.asarray(x, np.float32)
+    return np.array(x, np.float32)  # copy: never alias live torch storage
 
 
 # --- params ------------------------------------------------------------------

@@ -201,7 +201,7 @@ def eye_net_from_torch(sd: Mapping[str, Any]) -> Params:
         def np32(x):
             if hasattr(x, "detach"):
                 x = x.detach().cpu().numpy()
-            return np.asarray(x, np.float32)
+            return np.array(x, np.float32)  # copy: never alias torch storage
 
         return {"w": jnp.asarray(np32(sd[f"{name}.weight"]).T),
                 "b": jnp.asarray(np32(sd[f"{name}.bias"]))}

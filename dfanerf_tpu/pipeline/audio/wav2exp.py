@@ -93,7 +93,7 @@ def audio_encoder_from_torch(sd: Mapping[str, Any]) -> Params:
     def np32(x):
         if hasattr(x, "detach"):
             x = x.detach().cpu().numpy()
-        return np.asarray(x, np.float32)
+        return np.array(x, np.float32)  # copy: never alias live torch storage
 
     blocks = []
     for i in range(len(ENCODER_SPEC)):
