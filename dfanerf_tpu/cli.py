@@ -148,15 +148,23 @@ def cmd_render(args):
     )
     data = dataset_to_device(ds)
     idx = list(range(ds.n_frames))
-    frames = render_video_frames(
+    frames, frames_head = render_video_frames(
         state, data, cfg, ds.hwfcxy, ds.near, ds.far, idx,
         use_smoothing=int(state["step"]) >= cfg.signal.nosmo_iters,
     )
-    os.makedirs(args.out, exist_ok=True)
+    # reference --render_person writes BOTH composite and head-only frames
+    # (run_nerf_com_trainExpLater.py:717-723: render_com/ + render_head/)
+    os.makedirs(os.path.join(args.out, "render_com"), exist_ok=True)
+    os.makedirs(os.path.join(args.out, "render_head"), exist_ok=True)
     import imageio.v2 as imageio
 
-    for i, fr in enumerate(frames):
-        imageio.imwrite(os.path.join(args.out, f"test_{i:06d}.jpg"), fr)
+    for i, (fr, fh) in enumerate(zip(frames, frames_head)):
+        imageio.imwrite(
+            os.path.join(args.out, "render_com", f"test_{i:06d}.jpg"), fr
+        )
+        imageio.imwrite(
+            os.path.join(args.out, "render_head", f"test_{i:06d}.jpg"), fh
+        )
     if args.video:
         mp4 = os.path.join(args.out, f"{cfg.expname}.mp4")
         try:

@@ -61,14 +61,27 @@ class FrameDataset:
 
 def _load_pt_or_npy(path: str, key: Optional[str] = None) -> np.ndarray:
     """Load a feature file saved either as torch .pt (reference format) or
-    .npy/.npz."""
+    .npy/.npz.
+
+    Torch-free runs: the pipeline writes ``<path>.npz`` when torch is not
+    importable (driver._torch_save), so a ``.pt`` path falls back to its
+    ``.pt.npz`` sibling before (and on failure of) importing torch — the
+    whole process→train path works without torch installed.
+    """
     if path.endswith(".npy"):
         return np.load(path).astype(np.float32)
     if path.endswith(".npz"):
         data = np.load(path)
         return data[key if key else list(data.keys())[0]].astype(np.float32)
-    import torch  # torch only needed for reference-format .pt blobs
-
+    npz_sibling = path + ".npz"
+    if not os.path.exists(path) and os.path.exists(npz_sibling):
+        return _load_pt_or_npy(npz_sibling, key)
+    try:
+        import torch  # torch only needed for reference-format .pt blobs
+    except ImportError:
+        if os.path.exists(npz_sibling):
+            return _load_pt_or_npy(npz_sibling, key)
+        raise
     obj = torch.load(path, map_location="cpu")
     if key is not None and isinstance(obj, dict):
         obj = obj[key]

@@ -62,6 +62,21 @@ def apply_expression_enc(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return linear(params["fc2"], leaky_relu(linear(params["fc1"], x)))
 
 
+# --- ExpressionEncHalf: 64 -> 32 -> 64 MLP -----------------------------------
+# (run_nerf_helpers.py:196-207 — identity-width variant used by half-signal
+# experiments; unused by the shipped trainer but part of the API surface)
+
+
+def init_expression_enc_half(key: jax.Array) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {"fc1": init_linear(k1, 64, 32), "fc2": init_linear(k2, 32, 64)}
+
+
+def apply_expression_enc_half(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """x: [..., 64] expression codes -> [..., 64]."""
+    return linear(params["fc2"], leaky_relu(linear(params["fc1"], x)))
+
+
 # --- AudioNet (DeepSpeech path): Conv1d 29->32->32->64->64 stride 2 ----------
 
 

@@ -221,7 +221,9 @@ def render_video_frames(
 
     The torso camera is pinned to ``pose_body`` (the reference uses the
     first TRAIN frame's pose for every rendered frame, :460,:644-646).
-    Returns uint8 [T, H, W, 3] composite frames.
+    Returns uint8 composite frames [T, H, W, 3] and head-only frames
+    [T, H, W, 3] (the reference writes both render_com/ and render_head/,
+    run_nerf_com_trainExpLater.py:717-723).
     """
     render = make_frame_renderer(cfg, hwfcxy, near, far)
     sig_fn = jax.jit(
@@ -232,12 +234,13 @@ def render_video_frames(
     )
     if pose_body is None:
         pose_body = data["poses"][0]
-    out = []
+    out_com, out_head = [], []
     for i in frame_indices:
         sig, sig_t = sig_fn(state["params"], jnp.int32(i))
-        _, rgb_com = render(
+        rgb_head, rgb_com = render(
             state["params"], state["z_shape"], state["z_app"],
             data["poses"][i], pose_body, sig, sig_t, data["bc_img"],
         )
-        out.append(np.asarray(jnp.clip(rgb_com, 0, 1) * 255).astype(np.uint8))
-    return np.stack(out)
+        out_com.append(np.asarray(jnp.clip(rgb_com, 0, 1) * 255).astype(np.uint8))
+        out_head.append(np.asarray(jnp.clip(rgb_head, 0, 1) * 255).astype(np.uint8))
+    return np.stack(out_com), np.stack(out_head)

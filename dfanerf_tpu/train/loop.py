@@ -114,7 +114,7 @@ def _render_val(cfg, ds, data, state, run_dir, step, mf):
     out_dir = os.path.join(run_dir, f"test_{step}")
     os.makedirs(out_dir, exist_ok=True)
     idx = list(ds.i_val[::100]) or [int(ds.i_val[0])]
-    frames = render_video_frames(
+    frames, _ = render_video_frames(
         state, data, cfg, ds.hwfcxy, ds.near, ds.far, idx,
         pose_body=data["poses"][0],
         use_smoothing=int(state["step"]) >= cfg.signal.nosmo_iters,

@@ -102,6 +102,20 @@ def encode_signal(
     return jnp.where(use_smoothing, smoothed, plain)
 
 
+def get_half_signals(H: int, W: int, sig_aud: jnp.ndarray,
+                     sig_eye: jnp.ndarray) -> jnp.ndarray:
+    """Split-screen conditioning image: top half rows carry the eye signal,
+    bottom half the audio signal (run_nerf_helpers.py:437-446 — used by the
+    half-signal ablation path; not active in the shipped run).
+
+    Returns [2*(H//2), W, D] — exactly the reference's shape (it stacks two
+    H//2 blocks, so an odd H drops the last row, quirk preserved).
+    """
+    top = jnp.broadcast_to(sig_eye, (H // 2, W, sig_eye.shape[-1]))
+    bottom = jnp.broadcast_to(sig_aud, (H // 2, W, sig_aud.shape[-1]))
+    return jnp.concatenate([top, bottom], axis=0)
+
+
 def encode_signal_torso(
     params: Params,
     poses: jnp.ndarray,

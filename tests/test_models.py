@@ -188,6 +188,38 @@ class TestReferenceParity:
         ours = np.asarray(apply_expression_enc(params, jnp.asarray(x)))
         np.testing.assert_allclose(ours, ref, atol=1e-5)
 
+    def test_expression_enc_half_parity(self):
+        add_reference_to_path()
+        import torch
+        from run_nerf_helpers import ExpressionEncHalf
+
+        from dfanerf_tpu.models.encoders import apply_expression_enc_half
+
+        torch.manual_seed(2)
+        net = ExpressionEncHalf()
+        params = expression_enc_from_torch(net.state_dict())
+        x = np.random.RandomState(6).randn(6, 64).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.tensor(x)).numpy()
+        ours = np.asarray(apply_expression_enc_half(params, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_get_half_signals_parity(self):
+        add_reference_to_path()
+        import torch
+        from run_nerf_helpers import get_half_signals
+
+        from dfanerf_tpu.train.signals import get_half_signals as ours_fn
+
+        rng = np.random.RandomState(3)
+        sig_aud = rng.randn(96).astype(np.float32)
+        sig_eye = rng.randn(96).astype(np.float32)
+        ref = get_half_signals(
+            8, 6, [torch.tensor(sig_aud), torch.tensor(sig_eye)]
+        ).numpy()
+        ours = np.asarray(ours_fn(8, 6, jnp.asarray(sig_aud), jnp.asarray(sig_eye)))
+        np.testing.assert_allclose(ours, ref, atol=0)
+
     def test_audionet_ds_parity(self):
         add_reference_to_path()
         import torch

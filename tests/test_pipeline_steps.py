@@ -218,3 +218,48 @@ class TestDiskContractRoundtrip:
             os.path.join(id_dir, "HeadNeRF_config_ba.txt")
         )
         assert near2 == pytest.approx(near) and far2 == pytest.approx(far)
+
+    def test_torch_free_pt_npz_fallback(self, tmp_path):
+        """With torch absent, driver steps write <name>.pt.npz; every later
+        consumer that asks for <name>.pt must transparently fall back
+        (driver steps 7 -> 8 -> 9 -> loader without torch)."""
+        from dfanerf_tpu.data.dataset import _load_pt_or_npy
+
+        base = str(tmp_path / "track_params_ba.pt")
+        rng = np.random.RandomState(0)
+        euler = rng.randn(5, 3).astype(np.float32)
+        np.savez(base + ".npz", euler=euler, focal=np.array([900.0]))
+        # .pt itself absent -> npz sibling must be used
+        got = _load_pt_or_npy(base, "euler")
+        np.testing.assert_array_equal(got, euler)
+        got_f = _load_pt_or_npy(base, "focal")
+        assert got_f[0] == 900.0
+
+    def test_transforms_step_reads_npz_only_artifacts(self, tmp_path):
+        """step 9 must run when step 8 wrote only bundle_adjustment.pt.npz."""
+        import imageio.v2 as imageio
+
+        from dfanerf_tpu.pipeline.driver import PipelineDriver
+
+        id_dir = str(tmp_path / "npzid")
+        d = PipelineDriver(id_dir, dst_size=64)
+        rng = np.random.RandomState(3)
+        n = 11
+        for i in range(n):
+            imageio.imwrite(
+                os.path.join(id_dir, "ori_imgs", f"{i:06d}.jpg"),
+                rng.randint(0, 255, (64, 64, 3), np.uint8),
+            )
+            np.savetxt(
+                os.path.join(id_dir, "ori_imgs", f"{i:06d}.lms"),
+                rng.uniform(10, 54, (68, 2)), "%f",
+            )
+        np.savez(
+            os.path.join(id_dir, "bundle_adjustment.pt.npz"),
+            euler=rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32),
+            trans=np.tile([[0, 0, -0.6]], (n, 1)).astype(np.float32),
+            focal=np.array([900.0]),
+        )
+        near, far = d.step_transforms()
+        assert os.path.exists(os.path.join(id_dir, "transforms_train_ba.json"))
+        assert far > near

@@ -69,11 +69,12 @@ class TestFrameRenderer:
 
     def test_video_frames(self, setup):
         cfg, ds, state, data = setup
-        frames = render_video_frames(
+        frames, frames_head = render_video_frames(
             state, data, cfg, ds.hwfcxy, ds.near, ds.far, [0, 1],
             use_smoothing=False,
         )
         assert frames.shape == (2, 24, 24, 3) and frames.dtype == np.uint8
+        assert frames_head.shape == (2, 24, 24, 3)
 
     def test_synthetic_gt_probes(self, setup):
         """The synthetic ground truth must show the audio-driven scene:
