@@ -1,21 +1,25 @@
 """Serving benchmark on a TRAINED model (BASELINE configs 3/4 flavor).
 
-Trains the built-in synthetic audio-driven scene at 450p for a few minutes
-on-chip (55 steps/s), then measures fused-kernel rendering fps with the
-serving options (ERT; optionally occupancy + spatial tiles). This is the
-honest counterpart to bench.py's random-weight number: skip mechanisms only
-pay on converged fields.
+The honest serving pipeline, end to end on one chip:
 
-    python benchmarks/serve_trained.py [n_train_steps] [occ_thresh]
+1. train the synthetic audio-driven 450p scene with the SHIPPED loss
+   (identical semantics to run_nerf_com_trainExpLater.py:738-931);
+2. serving bake: a brief fine-tune with a Cauchy density-sparsity prior at
+   random frustum points (train/step.py sparsity_lambda) — an opt-in
+   serving-prep pass that clears unsupervised-space density floaters so
+   empty-space skipping can pay (quality is re-measured, not assumed);
+3. render held-out frames with the fused kernel: no-skip baseline, then
+   ERT + conservative occupancy flags;
+4. report fps for both, val PSNR before/after the bake, and the max pixel
+   error of the skipped render vs the no-skip render of the SAME weights.
+
+    python benchmarks/serve_trained.py [n_train] [occ_thresh] [bake_steps]
 """
 
-import dataclasses
 import json
-import sys
-import time
-
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -32,29 +36,18 @@ from dfanerf_tpu.data import make_synthetic_dataset
 from dfanerf_tpu.render.renderer import encode_frame_signals, make_frame_renderer
 from dfanerf_tpu.train import dataset_to_device, init_train_state, make_train_step
 
+H = W = 450
 
-def main(n_train=2000, occ_thresh=0.0):
-    H = W = 450
-    cfg = ExperimentConfig(
-        render=RenderConfig(n_samples=64, use_fused_kernel=True,
-                            compute_dtype="bfloat16", ert_eps=1e-4,
-                            occ_sigma_thresh=occ_thresh,
-                            spatial_tiles=occ_thresh > 0),
-        train=TrainConfig(n_rand=2048),
-    )
-    ds = make_synthetic_dataset(n_frames=8, H=H, W=W, n_samples_gt=64)
-    state = init_train_state(jax.random.PRNGKey(0), cfg)
-    data = dataset_to_device(ds)
-    step = make_train_step(cfg, ds)
-    key = jax.random.PRNGKey(1)
-    t0 = time.time()
-    for i in range(n_train):
+
+def run_steps(step, state, data, n, key):
+    for _ in range(n):
         key, sub = jax.random.split(key)
         state, m = step(state, data, sub)
     jax.block_until_ready(m["loss"])
-    train_s = time.time() - t0
-    psnr = float(m["psnr_com"])
+    return state, m, key
 
+
+def make_frame_fn(cfg, ds, state, data):
     render = make_frame_renderer(cfg, ds.hwfcxy, ds.near, ds.far)
     sig_fn = jax.jit(
         lambda p, i: encode_frame_signals(
@@ -71,28 +64,90 @@ def main(n_train=2000, occ_thresh=0.0):
             sig, sig_t, data["bc_img"],
         )[1]
 
+    return frame
+
+
+def bench_fps(frame, n=20):
     frame(0).block_until_ready()
-    n = 20
     t0 = time.time()
     for i in range(n):
         out = frame(i)
     out.block_until_ready()
-    fps = n / (time.time() - t0)
+    return n / (time.time() - t0)
+
+
+def val_psnr(cfg, ds, state, data):
+    """Full-frame PSNR on the held-out frames (the reference's quality
+    metric, run_nerf_com_trainExpLater.py:1070-1077)."""
+    frame = make_frame_fn(cfg, ds, state, data)
+    ses = []
+    for i in np.asarray(ds.i_val):
+        pred = np.asarray(jnp.clip(frame(int(i)), 0.0, 1.0))
+        gt = np.asarray(ds.imgs_com[int(i)]).astype(np.float32) / 255.0
+        ses.append(float(np.mean((pred - gt) ** 2)))
+    return float(-10.0 * np.log10(np.mean(ses)))
+
+
+def main(n_train=4000, occ_thresh=0.3, bake_steps=1500, bake_lambda=2e-3):
+    base = dict(n_samples=64, use_fused_kernel=True, compute_dtype="bfloat16")
+    cfg0 = ExperimentConfig(
+        render=RenderConfig(**base, ert_eps=0.0),
+        train=TrainConfig(n_rand=2048),
+    )
+    ds = make_synthetic_dataset(n_frames=8, H=H, W=W, n_samples_gt=64)
+    state = init_train_state(jax.random.PRNGKey(0), cfg0)
+    data = dataset_to_device(ds)
+
+    t0 = time.time()
+    step = make_train_step(cfg0, ds)
+    state, m, key = run_steps(step, state, data, n_train, jax.random.PRNGKey(1))
+    train_s = time.time() - t0
+    psnr_trained = val_psnr(cfg0, ds, state, data)
+
+    t0 = time.time()
+    bake = make_train_step(cfg0, ds, sparsity_lambda=bake_lambda)
+    state, m, key = run_steps(bake, state, data, bake_steps, key)
+    bake_s = time.time() - t0
+    psnr_baked = val_psnr(cfg0, ds, state, data)
+
+    # serving: no-skip baseline vs ERT + occupancy on the SAME weights
+    frame0 = make_frame_fn(cfg0, ds, state, data)
+    fps_noskip = bench_fps(frame0)
+    ref_img = frame0(19)
+
+    cfg1 = ExperimentConfig(
+        render=RenderConfig(**base, ert_eps=1e-4, spatial_tiles=True,
+                            occ_sigma_thresh=occ_thresh),
+        train=cfg0.train,
+    )
+    frame1 = make_frame_fn(cfg1, ds, state, data)
+    fps_skip = bench_fps(frame1)
+    max_err = float(jnp.abs(frame1(19) - ref_img).max())
+
     print(json.dumps({
-        "metric": "450p trained-model serving fps (fused kernel, ERT)",
-        "value": round(fps, 3),
+        "metric": "450p trained+baked serving fps (fused kernel, ERT+occupancy)",
+        "value": round(fps_skip, 3),
         "unit": "fps",
+        "vs_baseline": round(fps_skip / 30.0, 4),
         "extra": {
+            "fps_noskip": round(fps_noskip, 3),
+            "speedup_vs_noskip": round(fps_skip / fps_noskip, 2),
+            "max_abs_err_vs_noskip": round(max_err, 5),
+            "val_psnr_trained": round(psnr_trained, 2),
+            "val_psnr_after_bake": round(psnr_baked, 2),
             "train_steps": n_train,
-            "train_seconds": round(train_s, 1),
-            "train_psnr_com": round(psnr, 2),
+            "bake_steps": bake_steps,
+            "bake_lambda": bake_lambda,
             "occ_sigma_thresh": occ_thresh,
+            "train_seconds": round(train_s, 1),
+            "bake_seconds": round(bake_s, 1),
         },
     }))
 
 
 if __name__ == "__main__":
     main(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 2000,
-        float(sys.argv[2]) if len(sys.argv) > 2 else 0.0,
+        int(sys.argv[1]) if len(sys.argv) > 1 else 4000,
+        float(sys.argv[2]) if len(sys.argv) > 2 else 0.3,
+        int(sys.argv[3]) if len(sys.argv) > 3 else 1500,
     )

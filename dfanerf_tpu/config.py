@@ -38,10 +38,11 @@ class RenderConfig:
     # tile's remaining sample slabs once every transmittance falls below
     # this (residual contribution bound; 0 disables). ~3x serving speedup
     # on converged models; exact no-op while densities are near zero.
-    occ_sigma_thresh: float = 0.0  # fused-kernel empty-space skipping: skip
-    # sample slabs where neither field's density reaches this anywhere in
-    # the tile (per-frame coarse-grid occupancy, 1-voxel dilated). 0 = off.
-    # Alphas in skipped slabs are bounded by thresh * slab_span.
+    occ_sigma_thresh: float = 0.0  # fused-kernel empty-space skipping:
+    # per-FIELD conservative flags (frustum-AABB vs dilated density-grid SAT,
+    # ops/fused_render.py:conservative_occupancy) skip a field's slab when
+    # its density stays under this threshold across the whole frustum chunk.
+    # 0 = off. Alphas in skipped slabs are bounded by thresh * slab_span.
     spatial_tiles: bool = False  # map 16x16 pixel blocks to kernel ray tiles
     # (pays only when ERT/occupancy can skip solid blocks; costs ~6% ray
     # padding otherwise, so off unless serving a converged sparse model)

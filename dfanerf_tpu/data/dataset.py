@@ -59,6 +59,20 @@ class FrameDataset:
         return self.poses.shape[0]
 
 
+def speaking_i_train(ds: "FrameDataset") -> np.ndarray:
+    """Training frames restricted to speaking intervals — the reference's
+    ``np.intersect1d(i_train, np.where(speak_frames > 0))``
+    (run_nerf_com_trainExpLater.py:481-483). With ``--all_speaker`` the
+    loader sets speak_frames to all-ones so this is the identity; datasets
+    without speak data are passed through."""
+    if ds.speak_frames is None:
+        return np.asarray(ds.i_train)
+    return np.intersect1d(
+        np.asarray(ds.i_train),
+        np.nonzero(np.asarray(ds.speak_frames) > 0)[0],
+    ).astype(np.int32)
+
+
 def _load_pt_or_npy(path: str, key: Optional[str] = None) -> np.ndarray:
     """Load a feature file saved either as torch .pt (reference format) or
     .npy/.npz.

@@ -372,6 +372,36 @@ def flow_on_crops(
     return out
 
 
+def mask_crop(
+    color: np.ndarray,
+    mask: np.ndarray,
+    crop_hw: Tuple[int, int] = (320, 240),
+    bound: int = 10,
+):
+    """The UNFaceFlow dataset crop (data_test_flow/dd_dataset.py:52-64):
+    bbox of the mask's nonzero pixels padded by ``bound`` px and clamped,
+    color ZEROED outside the mask, cropped and resized to
+    (crop_height, crop_width) = (320, 240 — options_test_flow.py:36-37).
+
+    Returns (crop [ch, cw, 3] float32 in 0..255, (x1, x2, y1, y2))."""
+    import cv2
+
+    nz = np.nonzero(mask)
+    assert nz[0].size > 0, "mask_crop: empty mask"
+    h, w = mask.shape[:2]
+    min_x = max(0, int(nz[1].min()) - bound)
+    max_x = min(w - 1, int(nz[1].max()) + bound)
+    min_y = max(0, int(nz[0].min()) - bound)
+    max_y = min(h - 1, int(nz[0].max()) + bound)
+    masked = color.astype(np.float32) * (mask != 0).astype(np.float32)[..., None]
+    crop = masked[min_y:max_y, min_x:max_x]
+    crop = cv2.resize(
+        np.ascontiguousarray(crop), (crop_hw[1], crop_hw[0]),
+        interpolation=cv2.INTER_LINEAR,
+    )
+    return crop, (min_x, max_x, min_y, max_y)
+
+
 # --- ImportanceWeights (UNFaceFlow refinement head) -----------------------------
 
 

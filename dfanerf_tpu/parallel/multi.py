@@ -32,15 +32,40 @@ from dfanerf_tpu.train.state import OPT_GROUPS, TrainState
 from dfanerf_tpu.train.step import dataset_to_device, sample_pixel_coords
 
 
+def compute_speaker_ids(speak_frames: Sequence[np.ndarray]) -> list:
+    """Per-frame speaker index for each conversational PAIR of datasets —
+    the exact reference construction (run_nerf_com_trainExpLater.py:485-489):
+    ``id = speak[2i] + 2 * speak[2i+1]; id[id >= 3] = 0; id -= 1`` so that
+    0 means dataset 2i speaks, 1 means dataset 2i+1 speaks, and -1 means
+    neither (or both — the >=3 clamp)."""
+    out = []
+    for i in range(len(speak_frames) // 2):
+        sid = np.asarray(speak_frames[2 * i]).astype(np.int64) + 2 * np.asarray(
+            speak_frames[2 * i + 1]
+        ).astype(np.int64)
+        sid[sid >= 3] = 0
+        out.append(sid - 1)
+    return out
+
+
 def make_multi_identity_train_step(
     cfg: ExperimentConfig,
     datasets: Sequence[FrameDataset],
     mesh: Mesh = None,
+    dynamic_speaker: bool = False,
 ):
     """Build the jitted multi-identity step.
 
     Args:
-        datasets: one FrameDataset per object (object 0 = speaker).
+        datasets: one FrameDataset per object. With ``dynamic_speaker=False``
+            object 0 is statically the speaker — the shipped trainer's
+            behavior (encode_signal branches on ``itr_obj == 0``,
+            run_nerf_com_trainExpLater.py:31,72). With ``dynamic_speaker=
+            True`` each object's branch follows its per-frame speak_frames
+            (the semantics the reference's speaker_ids construction at
+            :485-489 defines but its shipped loop never consumes): a frame
+            where the object speaks routes audio+expression through the
+            'head' branch, otherwise the signal-free 'head_listener' branch.
         mesh: optional 'rays' mesh; rays shard across it via shard_map.
     Returns:
         (train_step(state, data_list, key) -> (state, metrics), data_list)
@@ -48,10 +73,13 @@ def make_multi_identity_train_step(
     n_obj = len(datasets)
     assert cfg.train.n_object == n_obj
     scfg, tcfg, rcfg, dcfg = cfg.signal, cfg.train, cfg.render, cfg.decoder
+    from dfanerf_tpu.data.dataset import speaking_i_train
+
     metas = [
         dict(
             hwfcxy=ds.hwfcxy,
-            n_train=int(len(ds.i_train)),
+            n_train=int(len(speaking_i_train(ds))) if not dynamic_speaker
+            else int(len(ds.i_train)),
             near=float(ds.near),
             far=float(ds.far),
         )
@@ -63,33 +91,47 @@ def make_multi_identity_train_step(
         meta = metas[obj]
         H, W, focal, cx, cy = meta["hwfcxy"]
         n_valid = jnp.int32(meta["n_train"])
-        is_speaker = obj == 0
-        if is_speaker:
-            signal = encode_signal(
-                params, data["auds"], data["exps"], img_i, n_valid,
-                scfg.smo_size, use_smo, scfg.audio_net, scfg.win_size,
-            )
-        else:
-            signal = jnp.zeros((dcfg.dim_signal,))  # unused (listener)
-        signal_torso = encode_signal_torso(
-            params, data["poses"], img_i, n_valid,
-            scfg.smo_torso_size, use_smo, scfg.et_multires,
-        )
         ys, xs = coords[:, 0], coords[:, 1]
         target_head = data["imgs_head"][img_i, ys, xs].astype(jnp.float32) / 255.0
         target_com = data["imgs_com"][img_i, ys, xs].astype(jnp.float32) / 255.0
         bc_rgb = data["bc_img"][ys, xs].astype(jnp.float32) / 255.0
         rays_o, rays_d = rays_for_pixels(coords, focal, data["poses"][img_i], cx, cy)
         rays_o_t, rays_d_t = rays_for_pixels(coords, focal, data["poses"][0], cx, cy)
-        rgb_head, rgb_com = render_ray_batch(
-            params["decoder"], dcfg, rcfg,
-            rays_o, rays_d, rays_o_t, rays_d_t, z_vals,
-            signal, signal_torso,
-            state["z_shape"][obj * 2], state["z_app"][obj * 2],
-            state["z_shape"][obj * 2 + 1], state["z_app"][obj * 2 + 1],
-            bc_rgb,
-            head_branch="head" if is_speaker else "head_listener",
+        signal_torso = encode_signal_torso(
+            params, data["poses"], img_i, n_valid,
+            scfg.smo_torso_size, use_smo, scfg.et_multires,
         )
+
+        def render_with(signal, branch):
+            return render_ray_batch(
+                params["decoder"], dcfg, rcfg,
+                rays_o, rays_d, rays_o_t, rays_d_t, z_vals,
+                signal, signal_torso,
+                state["z_shape"][obj * 2], state["z_app"][obj * 2],
+                state["z_shape"][obj * 2 + 1], state["z_app"][obj * 2 + 1],
+                bc_rgb,
+                head_branch=branch,
+            )
+
+        def speaker_render():
+            signal = encode_signal(
+                params, data["auds"], data["exps"], img_i, n_valid,
+                scfg.smo_size, use_smo, scfg.audio_net, scfg.win_size,
+            )
+            return render_with(signal, "head")
+
+        def listener_render():
+            return render_with(jnp.zeros((dcfg.dim_signal,)), "head_listener")
+
+        if dynamic_speaker:
+            is_spk = data["speak_frames"][img_i] > 0
+            rgb_head, rgb_com = jax.lax.cond(
+                is_spk, speaker_render, listener_render
+            )
+        elif obj == 0:
+            rgb_head, rgb_com = speaker_render()
+        else:
+            rgb_head, rgb_com = listener_render()
         loss_head = jnp.mean((rgb_head - target_head) ** 2)
         loss_com = jnp.mean((rgb_com - target_com) ** 2)
         return loss_head + loss_com, (loss_head, loss_com)
@@ -175,5 +217,12 @@ def make_multi_identity_train_step(
         metrics["loss"] = sum(metrics[f"loss_obj{o}"] for o in range(n_obj))
         return new_state, metrics
 
-    data_list = [dataset_to_device(ds) for ds in datasets]
+    if dynamic_speaker:
+        assert all(ds.speak_frames is not None for ds in datasets), (
+            "dynamic_speaker needs per-frame speak_frames on every dataset"
+        )
+    data_list = [
+        dataset_to_device(ds, filter_speaking=not dynamic_speaker)
+        for ds in datasets
+    ]
     return train_step, data_list

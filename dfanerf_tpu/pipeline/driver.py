@@ -79,6 +79,20 @@ def _torch_save(obj, path):
         np.savez(path + ".npz", **(obj if isinstance(obj, dict) else {"data": obj}))
 
 
+def _load_asset(spec: str, from_torch, init_fn):
+    """Load a model asset. ``spec`` is either a torch checkpoint path or
+    ``random:<seed>`` (random-init params — lets DAG tests exercise the
+    full step machinery without the reference's weight blobs)."""
+    if spec.startswith("random:"):
+        import jax
+
+        seed = int(spec.split(":", 1)[1] or 0)
+        return init_fn(jax.random.PRNGKey(seed))
+    import torch
+
+    return from_torch(torch.load(spec, map_location="cpu"))
+
+
 def _valid_img_ids(id_dir):
     lms = sorted(glob(os.path.join(id_dir, "ori_imgs", "*.lms")))
     return [int(os.path.basename(p).split(".")[0]) for p in lms]
@@ -144,70 +158,189 @@ class PipelineDriver:
         cap.release()
         return i
 
-    def step_landmarks(self, smooth_lms: bool = True):
-        """BlazeFace detect -> HRNet 68-landmark decode -> .lms files +
-        head poses (the shipped demo_face_eye_detectPerframe_save path)."""
+    def step_landmarks(self, smooth_lms: bool = True, score_thresh: float = 0.3,
+                       use_optical_flow: bool = True):
+        """The full shipped step-2 stack (demo_face_eye_detectPerframe_save.py
+        with the process_data_ba.py:166-177 flags: --face_type 300W
+        --eye_heatmap_decode --use_optical_flow):
+
+        BlazeFace detect (128 sq input) -> bbox2cs affine crop 256 sq ->
+        HRNet heatmaps -> gaussian-modulated decode (:770-775, sigma 2.0) ->
+        landmark-score QA (:777-779: low-score frames get NO .lms and are
+        listed) -> inverse-affine to frame coords -> LK optical-flow temporal
+        stabilization (:823-850, accept tracked point at ||d||<4 px) ->
+        GhostNet eye landmarks on pts2cs eye crops (:854-943) with their own
+        LK pass -> EPnP head pose + per-scalar Kalman stabilizers
+        (:965-977) -> persist {:06d}.lms + pose pkl dicts (:1059-1076).
+        No-detection frames write a zero-landmark placeholder so frame ids
+        stay dense (:660-690). Jaw-only Gaussian smoothing then runs over
+        ALL written .lms files, placeholders included
+        (process_data_ba.py:186-199).
+        """
+        import pickle
+
         import cv2
-        import torch
         import jax.numpy as jnp
 
         from dfanerf_tpu.models.perception.blazeface import (
             blazeface_from_torch, detect_faces, generate_anchors,
         )
         from dfanerf_tpu.models.perception.hrnet import apply_hrnet, hrnet_from_torch
+        from dfanerf_tpu.pipeline.affine import (
+            affine_transform_pts, bbox2cs, crop_affine, get_affine_transform,
+        )
+        from dfanerf_tpu.pipeline.filters import lk_stabilize
         from dfanerf_tpu.pipeline.heatmaps import decode_heatmaps
-        from dfanerf_tpu.pipeline.pose import PoseEstimator
+        from dfanerf_tpu.pipeline.pose import KalmanStabilizer, PoseEstimator
         from dfanerf_tpu.pipeline.steps import landmark_gaussian_smooth
 
         assert self.assets.blazeface_pth and self.assets.hrnet_pth, (
             "step 2 needs blazeface_pth and hrnet_pth assets"
         )
-        bf = blazeface_from_torch(torch.load(self.assets.blazeface_pth, map_location="cpu"))
+        from dfanerf_tpu.models.perception.blazeface import init_blazeface
+        from dfanerf_tpu.models.perception.hrnet import init_hrnet
+
+        bf = _load_asset(
+            self.assets.blazeface_pth, blazeface_from_torch, init_blazeface
+        )
         anchors = generate_anchors()
-        hr = hrnet_from_torch(torch.load(self.assets.hrnet_pth, map_location="cpu"))
+        hr = _load_asset(self.assets.hrnet_pth, hrnet_from_torch, init_hrnet)
+        eye = None
+        if self.assets.eye_pth:
+            from dfanerf_tpu.models.perception.ghostnet_eye import (
+                eye_net_from_torch, init_eye_net,
+            )
+
+            eye = _load_asset(
+                self.assets.eye_pth, eye_net_from_torch, init_eye_net
+            )
         paths = sorted(glob(os.path.join(self.id_dir, "ori_imgs", "*.jpg")))
         est = PoseEstimator((self.dst_size, self.dst_size), self.assets.pose_model_txt)
-        all_lms, ids, poses, scores = [], [], [], []
+        # 6 scalar Kalman stabilizers over [r_vec, t_vec]
+        # (demo...save.py:596-601: state 2, measure 1, q=0.3, r=18.1)
+        stabs = [
+            KalmanStabilizer(state_num=2, measure_num=1, cov_process=0.3,
+                             cov_measure=18.1)
+            for _ in range(6)
+        ]
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        pkl_dir = os.path.join(self.id_dir, "pose_pkl")
+        os.makedirs(pkl_dir, exist_ok=True)
+        prev_gray = prev_lms = prev_eyes = None
+        low_score = []
+        poses = {}
         for p in paths:
+            counter = int(os.path.basename(p).split(".")[0])
             img = _imread(p)
             h, w = img.shape[:2]
             small = cv2.resize(img, (128, 128))
             dets = detect_faces(bf, anchors, small[None])[0]
             if len(dets) == 0:
+                # dense-frame contract: zero-landmark placeholder (:660-690)
+                np.savetxt(
+                    os.path.join(self.id_dir, "ori_imgs", f"{counter:06d}.lms"),
+                    np.zeros((68, 2), np.float32), "%f",
+                )
+                continue  # LK chain resumes from the last good frame
+            y0, x0, y1, x1 = dets[0, :4] * 128.0
+            scale_ratio = max(h, w) / 128.0
+            center, scale = bbox2cs(
+                np.array([x0, y0, x1, y1]) * scale_ratio
+            )
+            crop = crop_affine(img, center, scale, (256, 256))
+            trans_inv = get_affine_transform(center, scale, 0, (256, 256), inv=1)
+            x = (crop.astype(np.float32) / 255.0 - mean) / std
+            hm = apply_hrnet(hr, jnp.asarray(x[None]))
+            coords, maxvals = decode_heatmaps(hm, sigma=2.0)
+            score = float(np.asarray(maxvals).mean())
+            if score < score_thresh:
+                # low-score QA (:777-793): record, no .lms for this frame
+                low_score.append([counter, score])
                 continue
-            scores.append(float(dets[0, 16]))
-            y0, x0, y1, x1 = dets[0, :4] * np.array([h, w, h, w])
-            cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
-            size = max(y1 - y0, x1 - x0) * 1.5
-            x0c, y0c = int(max(cx - size / 2, 0)), int(max(cy - size / 2, 0))
-            x1c = int(min(cx + size / 2, w))
-            y1c = int(min(cy + size / 2, h))
-            crop = cv2.resize(img[y0c:y1c, x0c:x1c], (256, 256))
-            hm = apply_hrnet(hr, jnp.asarray(crop[None], jnp.float32) / 255.0)
-            coords, _ = decode_heatmaps(hm, sigma=1.5)
-            lms = np.asarray(coords[0]) * 4.0  # heatmap 64 -> crop 256
-            lms[:, 0] = lms[:, 0] * (x1c - x0c) / 256.0 + x0c
-            lms[:, 1] = lms[:, 1] * (y1c - y0c) / 256.0 + y0c
-            all_lms.append(lms)
-            ids.append(int(os.path.basename(p).split(".")[0]))
-        all_lms = np.stack(all_lms)
-        if smooth_lms:
-            all_lms = landmark_gaussian_smooth(all_lms, 1.5, area="only_jaw")
-        # QA: frames whose detection confidence was low (the reference's
-        # low_score_idxes list, demo...save.py:777-779,1114)
-        low_score = [i for i, s in zip(ids, scores) if s < 0.9]
+            preds = np.asarray(coords[0], np.float64) * 4.0  # heatmap 64 -> 256
+            lms = affine_transform_pts(preds, trans_inv)
+            gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+            if use_optical_flow and prev_gray is not None:
+                lms = lk_stabilize(prev_gray, gray, prev_lms, lms)
+            lms = lms.astype(np.float32)
+            eye_lms = None
+            if eye is not None:
+                eye_lms = self._eye_landmarks(eye, img, lms)
+                if use_optical_flow and prev_gray is not None and prev_eyes is not None:
+                    eye_lms = lk_stabilize(prev_gray, gray, prev_eyes, eye_lms)
+                np.savetxt(
+                    os.path.join(self.id_dir, "ori_imgs", f"{counter:06d}.eye"),
+                    eye_lms, "%f",
+                )
+            # EPnP pose on the stabilized 68 + Kalman smoothing (:952-977)
+            r_vec, t_vec = est.solve_pose_by_68_points(lms)
+            rot, _ = cv2.Rodrigues(r_vec)
+            pose_mat = np.hstack([rot, t_vec.reshape(3, 1)])
+            pose_np = np.concatenate([r_vec.reshape(-1), t_vec.reshape(-1)])
+            steady = []
+            for v, s in zip(pose_np, stabs):
+                s.update([v])
+                steady.append(float(s.state[0, 0]))
+            steady_pose = np.reshape(np.asarray(steady, np.float64), (-1, 3))
+            with open(os.path.join(pkl_dir, f"{counter:06d}.pkl"), "wb") as f:
+                pickle.dump(
+                    {
+                        "pose_mat": pose_mat,
+                        "pose_np": pose_np,
+                        "steady_pose": steady_pose,
+                        "face_landmarks_show": np.vstack([lms[:36], lms[48:]]),
+                    },
+                    f,
+                )
+            poses[counter] = est.pose_to_matrix(r_vec, t_vec)
+            np.savetxt(
+                os.path.join(self.id_dir, "ori_imgs", f"{counter:06d}.lms"),
+                lms, "%f",
+            )
+            prev_gray, prev_lms, prev_eyes = gray, lms, eye_lms
         if low_score:
             np.savetxt(
                 os.path.join(self.id_dir, "low_score_frames.txt"),
-                np.asarray(low_score, np.int32), "%d",
+                np.asarray(low_score), "%f",
             )
-        for i, lms in zip(ids, all_lms):
-            np.savetxt(
-                os.path.join(self.id_dir, "ori_imgs", f"{i:06d}.lms"), lms, "%f"
-            )
-            r, t = est.solve_pose_by_68_points(lms)
-            poses.append(est.pose_to_matrix(r, t))
-        return np.stack(poses)
+        if smooth_lms:
+            # jaw-only Gaussian smoothing over every written .lms file,
+            # zero placeholders included (process_data_ba.py:186-199)
+            lms_paths = sorted(glob(os.path.join(self.id_dir, "ori_imgs", "*.lms")))
+            arr = np.stack([np.loadtxt(q).astype(np.float32) for q in lms_paths])
+            arr = landmark_gaussian_smooth(arr, 1.5, area="only_jaw")
+            for q, sm in zip(lms_paths, arr):
+                np.savetxt(q, sm, "%f")
+        return poses
+
+    def _eye_landmarks(self, eye_params, img, lms):
+        """GhostNet 6-kpt eye landmarks on pts2cs crops, 300W indices
+        (demo...save.py:264-330,854-943): left eye from lms 42:48, right
+        from 36:42, scale*1.35, 48x32 gray crops, heatmap decode without
+        gaussian modulation (eye cfg HEATMAP_DM false), x2 to crop coords,
+        inverse-affine back. Returns [12, 2] (left 6 then right 6)."""
+        import cv2
+        import jax.numpy as jnp
+
+        from dfanerf_tpu.models.perception.ghostnet_eye import apply_eye_net
+        from dfanerf_tpu.pipeline.affine import (
+            affine_transform_pts, crop_affine, get_affine_transform, pts2cs,
+        )
+        from dfanerf_tpu.pipeline.heatmaps import decode_heatmaps
+
+        out = []
+        for sl in (slice(42, 48), slice(36, 42)):
+            center, scale = pts2cs(lms[sl])
+            scale = scale * 1.35
+            crop = crop_affine(img, center, scale, (48, 32))
+            gray = cv2.cvtColor(crop, cv2.COLOR_RGB2GRAY).astype(np.float32) / 255.0
+            hmap = apply_eye_net(eye_params, jnp.asarray(gray[None, ..., None]))
+            coords, _ = decode_heatmaps(hmap, modulate=False)
+            pts = np.asarray(coords[0], np.float64) * 2.0  # heatmap 24x16 -> 48x32
+            trans_inv = get_affine_transform(center, scale, 0, (48, 32), inv=1)
+            out.append(affine_transform_pts(pts, trans_inv))
+        return np.concatenate(out).astype(np.float32)
 
     def step_parsing(self):
         import torch
@@ -263,44 +396,57 @@ class PipelineDriver:
             _imwrite(os.path.join(self.id_dir, "head_imgs", f"{i:06d}.jpg"), head)
             _imwrite(os.path.join(self.id_dir, "face_mask", f"{i:06d}.png"), mask)
 
-    def step_flow(self, ref_id: int = 18, crop_hw=(240, 320)):
-        import torch
-        import jax.numpy as jnp
-
+    def step_flow(self, ref_id: int = 18, crop_hw=(320, 240)):
+        """Dense flow ref->frame with the UNFaceFlow test_flow contract
+        (test_flow.py:88-104, network_test_flow.py:73-104): source/target
+        cropped to their face-mask bboxes (+-10 px, masked color), RAFT on
+        the 320x240 crops, flow rescaled + un-cropped into the source rect
+        of the full frame, multiplied by the source mask. (The reference's
+        NeuralNRT also carries an ImportanceWeights refinement head, loaded
+        but never invoked by its shipped forward — models/perception/raft.py
+        apply_importance_weights implements it for the training path.)
+        Then rigid-keypoint mining + tracking (process_data_ba.py:289-372).
+        """
         from dfanerf_tpu.models.perception.raft import (
-            apply_raft_small, raft_small_from_torch,
+            flow_on_crops, init_raft_small, mask_crop, raft_small_from_torch,
         )
         from dfanerf_tpu.pipeline.steps import (
             flow_stability_map, mine_rigid_keypoints, track_keypoints,
         )
 
         assert self.assets.raft_pth, "step 6 needs raft_pth"
-        params = raft_small_from_torch(torch.load(self.assets.raft_pth, map_location="cpu"))
+        params = _load_asset(
+            self.assets.raft_pth, raft_small_from_torch, init_raft_small
+        )
         ids = _valid_img_ids(self.id_dir)
         ref = _imread(os.path.join(self.id_dir, "ori_imgs", f"{ref_id:06d}.jpg"))
+        ref_mask_img = _imread(
+            os.path.join(self.id_dir, "face_mask", f"{ref_id:06d}.png")
+        )
+        src_mask = ref_mask_img[..., 0] != 0
         h, w = ref.shape[:2]
+        src_crop, (x1s, x2s, y1s, y2s) = mask_crop(ref, src_mask, crop_hw)
         flows = []
-        import cv2
-
-        ref_small = cv2.resize(ref, (crop_hw[1], crop_hw[0])).astype(np.float32)
         for i in ids:
             tgt = _imread(os.path.join(self.id_dir, "ori_imgs", f"{i:06d}.jpg"))
-            tgt_small = cv2.resize(tgt, (crop_hw[1], crop_hw[0])).astype(np.float32)
-            flow, _ = apply_raft_small(
-                params, jnp.asarray(ref_small[None]), jnp.asarray(tgt_small[None])
+            tgt_mask = _imread(
+                os.path.join(self.id_dir, "face_mask", f"{i:06d}.png")
+            )[..., 0] != 0
+            tar_crop, (x1t, x2t, y1t, y2t) = mask_crop(tgt, tgt_mask, crop_hw)
+            crop_params = np.array(
+                [[x1s, x2s, y1s, y2s, x1t, x2t, y1t, y2t]], np.int32
             )
-            flow = np.asarray(flow[0])
-            # rescale crop flow back to full res
-            flow_full = cv2.resize(flow, (w, h))
-            flow_full[..., 0] *= w / crop_hw[1]
-            flow_full[..., 1] *= h / crop_hw[0]
-            f = flow_full.transpose(2, 0, 1)
+            flow_full = flow_on_crops(
+                params, src_crop[None], tar_crop[None], crop_params, (h, w)
+            )[0]  # [H, W, 2]
+            # flow masked by the SOURCE mask (test_flow.py predict():101-103)
+            flow_full = flow_full * src_mask[..., None]
+            f = flow_full.transpose(2, 0, 1).astype(np.float32)
             flows.append(f)
             np.save(
                 os.path.join(self.id_dir, "flow_result", f"{ref_id:06d}_{i:06d}.npy"), f
             )
-        mask = _imread(os.path.join(self.id_dir, "face_mask", f"{ref_id:06d}.png"))
-        rigid_mask = mask[..., 0] > 250
+        rigid_mask = ref_mask_img[..., 0] > 250
         rigid = np.stack([f[:, rigid_mask] for f in flows])
         stab = flow_stability_map(rigid, rigid_mask, h, w)
         key_xys = mine_rigid_keypoints(stab)

@@ -69,19 +69,21 @@ def lk_stabilize(
     accept_dist: float = 4.0,
 ) -> np.ndarray:
     """Blend freshly-detected landmarks with LK-tracked previous landmarks:
-    where the tracked point is within ``accept_dist`` px of the detection
-    and tracking succeeded, prefer the tracked (temporally stable) point."""
+    where the tracked point is within ``accept_dist`` px of the detection,
+    prefer the tracked (temporally stable) point. Matches the demo's rule
+    exactly (cv2 default LK params; ``good_new[norm < 4] = lmk_aft_flow``,
+    demo_face_eye_detectPerframe_save.py:833-846 — the status flags are
+    ignored there; a failed track lands far from the detection and the
+    distance rule rejects it)."""
     import cv2
 
     prev_pts = prev_lms.astype(np.float32).reshape(-1, 1, 2)
-    tracked, status, _ = cv2.calcOpticalFlowPyrLK(
+    tracked, _status, _ = cv2.calcOpticalFlowPyrLK(
         prev_gray, curr_gray, prev_pts, None,
-        winSize=(15, 15), maxLevel=2,
     )
-    tracked = tracked.reshape(-1, 2)
-    status = status.reshape(-1) == 1
+    tracked = np.nan_to_num(tracked.reshape(-1, 2), nan=np.inf)
     dist = np.linalg.norm(tracked - detected_lms, axis=1)
-    use_tracked = status & (dist < accept_dist)
+    use_tracked = dist < accept_dist
     out = detected_lms.astype(np.float32).copy()
     out[use_tracked] = tracked[use_tracked]
     return out

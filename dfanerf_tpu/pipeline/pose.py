@@ -72,13 +72,15 @@ def synthetic_model_points() -> np.ndarray:
     eyes = np.stack(
         [np.concatenate([np.linspace(-45, -20, 6), np.linspace(20, 45, 6)]),
          np.full(12, 25.0), np.full(12, 5.0)], 1)
+    # iBUG-68 layout: jaw 17 + brows 10 + nose 9 + eyes 12 + mouth 20 = 68
     mouth = np.stack(
-        [35 * np.cos(np.linspace(0, 2 * np.pi, 14, endpoint=False)),
-         -35 + 12 * np.sin(np.linspace(0, 2 * np.pi, 14, endpoint=False)),
-         np.full(14, 10.0)], 1)
+        [35 * np.cos(np.linspace(0, 2 * np.pi, 20, endpoint=False)),
+         -35 + 12 * np.sin(np.linspace(0, 2 * np.pi, 20, endpoint=False)),
+         np.full(20, 10.0)], 1)
     pts = np.concatenate([jaw, brow, nose, eyes, mouth]).astype(np.float32)
     pts += rng.randn(*pts.shape).astype(np.float32) * 0.5
-    return pts[:68]
+    assert pts.shape == (68, 3)
+    return pts
 
 
 def load_model_points(path: Optional[str] = None) -> np.ndarray:

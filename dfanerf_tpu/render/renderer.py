@@ -39,7 +39,7 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
 
     if rcfg.use_fused_kernel:
         from dfanerf_tpu.ops.fused_render import (
-            compute_occupancy_flags,
+            conservative_occupancy,
             fused_render_rays,
             spatial_tile_permutation,
         )
@@ -77,7 +77,7 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
             )
             occ = None
             if rcfg.occ_sigma_thresh > 0:
-                occ = compute_occupancy_flags(
+                occ = conservative_occupancy(
                     pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals,
                     rcfg.occ_sigma_thresh,
                 )

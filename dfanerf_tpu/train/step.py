@@ -30,9 +30,19 @@ from dfanerf_tpu.train.signals import encode_signal, encode_signal_torso
 from dfanerf_tpu.train.state import OPT_GROUPS, TrainState
 
 
-def dataset_to_device(ds: FrameDataset, sharding=None) -> Dict[str, jnp.ndarray]:
-    """Move the training arrays to device (uint8 images stay uint8)."""
+def dataset_to_device(ds: FrameDataset, sharding=None,
+                      filter_speaking: bool = True) -> Dict[str, jnp.ndarray]:
+    """Move the training arrays to device (uint8 images stay uint8).
+
+    ``i_train`` is restricted to speaking frames (identity when the loader
+    ran with all_speaker or no speak data) — the reference's per-dataset
+    filter at run_nerf_com_trainExpLater.py:481-483. Pass
+    ``filter_speaking=False`` for the dynamic-speaker mode, which trains on
+    every frame and switches branches per frame instead."""
+    from dfanerf_tpu.data.dataset import speaking_i_train
+
     put = partial(jax.device_put, device=sharding) if sharding else jax.device_put
+    i_train = speaking_i_train(ds) if filter_speaking else ds.i_train
     data = {
         "poses": put(jnp.asarray(ds.poses)),
         "auds": put(jnp.asarray(ds.auds)),
@@ -41,8 +51,10 @@ def dataset_to_device(ds: FrameDataset, sharding=None) -> Dict[str, jnp.ndarray]
         "imgs_com": put(jnp.asarray(ds.imgs_com)),
         "bc_img": put(jnp.asarray(ds.bc_img)),
         "rects": put(jnp.asarray(ds.sample_rects)),
-        "i_train": put(jnp.asarray(ds.i_train)),
+        "i_train": put(jnp.asarray(i_train)),
     }
+    if ds.speak_frames is not None:
+        data["speak_frames"] = put(jnp.asarray(ds.speak_frames, jnp.int32))
     return data
 
 
@@ -84,14 +96,63 @@ def sample_pixel_coords(
     return jnp.stack([rows[idx], cols[idx]], axis=-1)
 
 
-def make_train_step(cfg: ExperimentConfig, ds: FrameDataset):
-    """Build the jitted train step closed over static shapes/config."""
+def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
+                    sparsity_lambda: float = 0.0, sparsity_points: int = 4096):
+    """Build the jitted train step closed over static shapes/config.
+
+    ``sparsity_lambda > 0`` enables the SERVING-BAKE variant: the shipped
+    loss (identical to the reference) plus a Cauchy density-sparsity prior
+    ``lambda * mean(log(1 + 2*sigma^2))`` at uniform random points in the
+    render-frustum AABB, for both fields. This is an opt-in serving
+    preparation pass (a brief fine-tune that clears unsupervised-space
+    density floaters so occupancy skipping can pay), NOT part of the
+    reference training recipe — run_nerf_com_trainExpLater.py has no such
+    term and the default lambda=0 path is bit-identical to it.
+    """
+    from dfanerf_tpu.data.dataset import speaking_i_train
+
     H, W, focal, cx, cy = ds.hwfcxy
-    n_train = int(len(ds.i_train))
+    n_train = int(len(speaking_i_train(ds)))
     near, far = float(ds.near), float(ds.far)
     scfg, tcfg, rcfg, dcfg = cfg.signal, cfg.train, cfg.render, cfg.decoder
 
-    def loss_fn(params, state, data, img_i, coords, z_vals, use_smo):
+    if sparsity_lambda > 0.0:
+        import numpy as np
+
+        from dfanerf_tpu.core.rays import get_rays
+
+        # static frustum AABB over all training poses (matches the volume
+        # conservative_occupancy grids span)
+        corners = []
+        for p in np.asarray(ds.poses):
+            ro, rd = get_rays(int(H), int(W), focal, jnp.asarray(p), cx, cy)
+            ro = np.asarray(ro).reshape(-1, 3)[[0, W - 1, -W, -1]]
+            rd = np.asarray(rd).reshape(-1, 3)[[0, W - 1, -W, -1]]
+            corners += [ro + rd * near, ro + rd * far]
+        corners = np.concatenate(corners)
+        aabb_lo = jnp.asarray(corners.min(0))
+        aabb_hi = jnp.asarray(corners.max(0))
+
+    def sparsity_loss(params, z_shape, z_app, signal, signal_torso, key):
+        from dfanerf_tpu.models.decoder import apply_decoder
+
+        pts = aabb_lo + jax.random.uniform(
+            key, (sparsity_points, 3)
+        ) * (aabb_hi - aabb_lo)
+        dirs = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), pts.shape)
+        _, sig_h = apply_decoder(
+            params["decoder"], dcfg, pts, dirs, z_shape[0], z_app[0],
+            signal, "head",
+        )
+        _, sig_t = apply_decoder(
+            params["decoder"], dcfg, pts, dirs, z_shape[1], z_app[1],
+            signal_torso, "torso",
+        )
+        cauchy = lambda s: jnp.mean(jnp.log1p(2.0 * jnp.maximum(s, 0.0) ** 2))
+        return cauchy(sig_h) + cauchy(sig_t)
+
+    def loss_fn(params, state, data, img_i, coords, z_vals, use_smo,
+                k_sparse=None):
         n_valid = jnp.int32(n_train)
         signal = encode_signal(
             params, data["auds"], data["exps"], img_i, n_valid, scfg.smo_size,
@@ -139,6 +200,11 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset):
             loss = jnp.mean(jnp.abs(rgb_head - target_com))
         else:
             loss = loss_head + loss_com
+        if sparsity_lambda > 0.0:
+            loss = loss + sparsity_lambda * sparsity_loss(
+                params, state["z_shape"], state["z_app"], signal,
+                signal_torso, k_sparse,
+            )
         return loss, (loss_head, loss_com)
 
     @jax.jit
@@ -146,7 +212,7 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset):
         state: TrainState, data: Dict[str, jnp.ndarray], key: jax.Array
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         step = state["step"]
-        k_img, k_pix, k_z = jax.random.split(key, 3)
+        k_img, k_pix, k_z, k_sparse = jax.random.split(key, 4)
         img_pos = jax.random.randint(k_img, (), 0, n_train)
         img_i = data["i_train"][img_pos]
         coords = sample_pixel_coords(
@@ -160,7 +226,8 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset):
 
         (loss, (loss_head, loss_com)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state["params"], state, data, img_i, coords, z_vals, use_smo)
+        )(state["params"], state, data, img_i, coords, z_vals, use_smo,
+          k_sparse)
 
         lr = exp_decay_lr(step, tcfg.lrate, tcfg.lrate_decay)
         gates = {"always": jnp.int32(1), "smo": use_smo.astype(jnp.int32),

@@ -113,6 +113,92 @@ class TestFusedKernel:
         np.testing.assert_allclose(np.asarray(c2), np.asarray(c1[:257]), atol=1e-6)
 
 
+class TestConservativeOccupancy:
+    """Per-(field, tile, slab) SAT occupancy flags: geometric tile bounds,
+    explicit-flag exactness, and bounded error of the skipped render."""
+
+    def _camera_setup(self, params, thresh):
+        from dfanerf_tpu.core.rays import get_rays
+        from dfanerf_tpu.ops.fused_render import (
+            conservative_occupancy,
+            spatial_tile_permutation,
+        )
+
+        H = W = 32
+        c2w = jnp.eye(4).at[2, 3].set(0.6)  # camera at z=0.6 looking down -z
+        rays_o, rays_d = get_rays(H, W, 40.0, c2w)
+        perm = spatial_tile_permutation(H, W)
+        ro = rays_o.reshape(-1, 3)[perm]
+        rd = rays_d.reshape(-1, 3)[perm]
+        z_vals = jnp.linspace(0.3, 0.9, 16)
+        pw_h = pack_field_weights(
+            params, CFG, jnp.zeros(CFG.dim_signal), jnp.zeros(CFG.z_dim),
+            jnp.zeros(CFG.z_dim), "head", param_dtype=jnp.float32,
+        )
+        pw_t = pack_field_weights(
+            params, CFG, jnp.zeros(CFG.dim_et_embed), jnp.zeros(CFG.z_dim),
+            jnp.zeros(CFG.z_dim), "torso", param_dtype=jnp.float32,
+        )
+        occ = conservative_occupancy(pw_h, pw_t, ro, rd, ro, rd, z_vals, thresh)
+        return pw_h, pw_t, ro, rd, z_vals, occ
+
+    def test_tile_corner_rays_bound_tiles(self):
+        """Every ray dir of a spatial tile lies inside the corner AABB
+        (pinhole dirs are affine in pixel coords)."""
+        from dfanerf_tpu.core.rays import get_rays
+        from dfanerf_tpu.ops.fused_render import (
+            spatial_tile_permutation,
+            tile_corner_rays,
+        )
+
+        H = W = 64
+        c2w = jnp.eye(4)
+        _, rays_d = get_rays(H, W, 80.0, c2w, cx=30.0, cy=34.0)
+        perm = spatial_tile_permutation(H, W)
+        rd = rays_d.reshape(-1, 3)[perm]
+        corners = tile_corner_rays(rd)  # [T, 4, 3]
+        tiles = rd.reshape(-1, 256, 3)
+        lo = corners.min(1) - 1e-6
+        hi = corners.max(1) + 1e-6
+        assert bool(((tiles >= lo[:, None]) & (tiles <= hi[:, None])).all())
+
+    def test_explicit_allones_flags_are_exact(self, setup):
+        d = setup
+        pw_h = pack_field_weights(
+            d["params"], CFG, d["sig_h"], d["z_s"], d["z_a"], "head",
+            param_dtype=jnp.float32,
+        )
+        pw_t = pack_field_weights(
+            d["params"], CFG, d["sig_t"], d["z_s"], d["z_a"], "torso",
+            param_dtype=jnp.float32,
+        )
+        args = (pw_h, pw_t, d["rays_o"], d["rays_d"], d["rays_o_t"],
+                d["rays_d_t"], d["z_vals1"], d["bc"])
+        h0, c0 = fused_render_rays(*args, interpret=True)
+        n_tiles = -(-d["n"] // 256)
+        ones = jnp.ones((2, n_tiles, d["S"] // 8), jnp.int32)
+        h1, c1 = fused_render_rays(*args, interpret=True, occupancy=ones)
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+    def test_skipped_render_error_is_bounded(self, setup):
+        """With real camera tiles and computed flags, the occupancy-skipped
+        render matches the no-skip render to within the density-threshold
+        error bound (random-init fields have smooth low densities)."""
+        d = setup
+        thresh = 0.05
+        pw_h, pw_t, ro, rd, z_vals, occ = self._camera_setup(d["params"], thresh)
+        bc = jnp.zeros((ro.shape[0], 3))
+        args = (pw_h, pw_t, ro, rd, ro, rd, z_vals, bc)
+        h0, c0 = fused_render_rays(*args, interpret=True)
+        h1, c1 = fused_render_rays(*args, interpret=True, occupancy=occ)
+        # alpha error per skipped sample <= thresh * dist; 16 samples over
+        # a 0.6 z-span -> bound ~ thresh * 0.6 = 0.03 per channel
+        assert float(jnp.abs(h1 - h0).max()) < 0.03
+        assert float(jnp.abs(c1 - c0).max()) < 0.03
+        assert occ.shape == (2, ro.shape[0] // 256, 2)
+
+
 class TestEarlyRayTermination:
     def test_ert_matches_on_saturating_field(self, setup):
         """With a density-saturating field (huge sigma bias) ERT must skip
