@@ -1,18 +1,22 @@
 """Benchmark: audio-driven talking-head rendering throughput on one chip.
 
-Measures the shipped DFA-NeRF inference path (BASELINE config 3): per frame,
-encode audio+expression+pose signals, then volume-render the head field and
-the head+torso composite at 450x450 with 64 samples/ray and background
-concat — the same work run_nerf_com_trainExpLater.py:590-734 does with ~99
-host-looped 2048-ray chunks per frame.
+Measures the shipped DFA-NeRF inference path (BASELINE config 3) END TO
+END: trains the synthetic 450p scene on-chip, runs the serving bake, then
+renders with the fused kernel + ERT + conservative occupancy — the same
+work run_nerf_com_trainExpLater.py:590-734 does with ~99 host-looped
+2048-ray chunks per frame. Also measures the random-init no-skip render
+(kernel speed of light, no algorithmic skipping) and training throughput.
 
 Prints ONE JSON line:
   {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/30}
 vs_baseline is against the 30 fps north-star target (the reference repo
-publishes no numbers — BASELINE.md).
+publishes no numbers — BASELINE.md). extra carries the no-skip fps, the
+max pixel error of the skipped render vs no-skip, val PSNR before/after
+the bake, and train steps/sec.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -98,18 +102,38 @@ def main():
     steps_per_sec = n_steps / (time.time() - t1)
 
     fps = n_frames_bench / dt
-    mrays = fps * H * W / 1e6  # rays/frame through the 2-field pipeline
+
+    # the honest serving number: trained + baked model with the skip levers
+    # (ERT + conservative occupancy + bg epilogue); random-init weights make
+    # every skip mechanism a no-op, so the fps above is the no-skip floor
+    trained = None
+    if on_tpu:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks"))
+        import serve_trained
+
+        trained = serve_trained.run(
+            n_train=3000, occ_thresh=0.3, bake_steps=800, bake_lambda=5e-4
+        )
+
+    headline = trained["value"] if trained else fps
+    mrays = headline * H * W / 1e6  # rays/frame through the 2-field pipeline
     result = {
-        "metric": "450x450 audio-driven head+torso render (64 samples/ray, 2 fields)",
-        "value": round(fps, 3),
+        "metric": "450x450 audio-driven head+torso serving fps "
+                  "(trained+baked, fused kernel, ERT+occupancy)"
+                  if trained else
+                  "450x450 audio-driven head+torso render (64 samples/ray, 2 fields)",
+        "value": round(headline, 3),
         "unit": "fps",
-        "vs_baseline": round(fps / 30.0, 4),
+        "vs_baseline": round(headline / 30.0, 4),
         "extra": {
             "Mrays_per_sec_per_chip": round(mrays, 3),
+            "fps_random_init_noskip": round(fps, 3),
             "train_steps_per_sec_2048rays": round(steps_per_sec, 2),
             "shipped_600k_schedule_hours": round(600_000 / steps_per_sec / 3600, 2),
             "device": str(jax.devices()[0]),
             "n_frames": n_frames_bench,
+            **({"trained_serving": trained["extra"]} if trained else {}),
         },
     }
     print(json.dumps(result))

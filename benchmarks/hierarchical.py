@@ -29,11 +29,12 @@ from dfanerf_tpu.render.renderer import (
 from dfanerf_tpu.train import dataset_to_device, init_train_state
 
 
-def main():
+def main(use_fused=True):
     H = W = 450
     cfg = ExperimentConfig(
         render=RenderConfig(n_samples=64, n_importance=128, tile_rays=2048,
-                            compute_dtype="bfloat16"),
+                            compute_dtype="bfloat16",
+                            use_fused_kernel=use_fused, ert_eps=1e-4),
     )
     ds = make_synthetic_dataset(n_frames=4, H=H, W=W, n_samples_gt=8)
     state = init_train_state(jax.random.PRNGKey(0), cfg)
@@ -62,8 +63,11 @@ def main():
         "metric": "450p head-NeRF hierarchical 64+128 render",
         "value": round(fps, 3),
         "unit": "fps",
+        "extra": {"fused_fine_pass": use_fused},
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(use_fused="--xla" not in sys.argv)

@@ -1,8 +1,8 @@
 """Serving-lever diagnostics: times each skip mechanism separately on a
-trained model and reports occupancy-flag density + error vs no-skip.
+trained+baked model and reports occupancy-flag density + error vs no-skip.
 
-Trains the synthetic 450p scene once and caches the state in /tmp so perf
-iteration is cheap. Not a committed-benchmark entry point; see
+Trains + bakes the synthetic 450p scene once and caches the state in /tmp
+so perf iteration is cheap. Not a committed-benchmark entry point; see
 serve_trained.py for the headline number.
 """
 
@@ -26,33 +26,32 @@ from dfanerf_tpu.data import make_synthetic_dataset
 from dfanerf_tpu.render.renderer import encode_frame_signals, make_frame_renderer
 from dfanerf_tpu.train import dataset_to_device, init_train_state, make_train_step
 
-CKPT = "/tmp/probe_trained_450.npz"
+CKPT = "/tmp/probe_baked_450.npz"
 H = W = 450
 
 
-def get_state(n_train, ds, cfg):
+def get_state(ds, cfg, n_train=4000, n_bake=800, lam=5e-4):
     from dfanerf_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 
     state = init_train_state(jax.random.PRNGKey(0), cfg)
     if os.path.exists(CKPT):
         state = load_checkpoint(CKPT, state)
-        print("loaded cached trained state", file=sys.stderr)
+        print("loaded cached baked state", file=sys.stderr)
         return state
     data = dataset_to_device(ds)
-    step = make_train_step(cfg, ds)
     key = jax.random.PRNGKey(1)
-    t0 = time.time()
-    for _ in range(n_train):
-        key, sub = jax.random.split(key)
-        state, m = step(state, data, sub)
-    jax.block_until_ready(m["loss"])
-    print(f"trained {n_train} steps in {time.time()-t0:.1f}s "
-          f"psnr={float(m['psnr_com']):.2f}", file=sys.stderr)
+    for step_fn, n in ((make_train_step(cfg, ds), n_train),
+                       (make_train_step(cfg, ds, sparsity_lambda=lam), n_bake)):
+        for _ in range(n):
+            key, sub = jax.random.split(key)
+            state, m = step_fn(state, data, sub)
+        jax.block_until_ready(m["loss"])
+    print(f"trained+baked psnr={float(m['psnr_com']):.2f}", file=sys.stderr)
     save_checkpoint(CKPT, state)
     return state
 
 
-def bench_variant(name, cfg, ds, state, data, n=10, ref=None):
+def bench_variant(name, cfg, ds, state, data, n=20, ref=None):
     render = make_frame_renderer(cfg, ds.hwfcxy, ds.near, ds.far)
     sig_fn = jax.jit(
         lambda p, i: encode_frame_signals(
@@ -76,13 +75,13 @@ def bench_variant(name, cfg, ds, state, data, n=10, ref=None):
         out = frame(i)
     out.block_until_ready()
     fps = n / (time.time() - t0)
-    err = float(jnp.abs(out - ref).max()) if ref is not None else 0.0
+    err = float(jnp.abs(frame(3) - ref).max()) if ref is not None else 0.0
     print(json.dumps({"variant": name, "fps": round(fps, 3),
                       "max_err_vs_noskip": round(err, 5)}))
-    return frame(n - 1)  # deterministic last frame for comparisons
+    return frame(3)
 
 
-def occ_density(cfg, ds, state, data, thresh):
+def occ_density(cfg, ds, state, data, thresh, grid_res=64):
     from dfanerf_tpu.core.rays import get_rays
     from dfanerf_tpu.ops.fused_render import (
         conservative_occupancy, spatial_tile_permutation,
@@ -112,7 +111,7 @@ def occ_density(cfg, ds, state, data, thresh):
         state["z_app"][1], "torso",
     )
     occ_fn = jax.jit(lambda: conservative_occupancy(
-        pw_h, pw_t, ro, rd, ro, rd, z_vals, thresh))
+        pw_h, pw_t, ro, rd, ro, rd, z_vals, thresh, grid_res=grid_res))
     occ = occ_fn()
     occ.block_until_ready()
     t0 = time.time()
@@ -120,40 +119,43 @@ def occ_density(cfg, ds, state, data, thresh):
         occ = occ_fn()
     occ.block_until_ready()
     ms = (time.time() - t0) / 10 * 1000
+    joint = np.asarray(occ).max(0)
     print(json.dumps({
-        "occ_flag_density_head": round(float(occ[0].mean()), 4),
-        "occ_flag_density_torso": round(float(occ[1].mean()), 4),
+        "grid_res": grid_res,
+        "occ_density_head": round(float(occ[0].mean()), 4),
+        "occ_density_torso": round(float(occ[1].mean()), 4),
+        "occ_density_joint": round(float(joint.mean()), 4),
         "occ_compute_ms": round(ms, 2),
         "thresh": thresh,
     }))
 
 
-def main(n_train=2000, thresh=0.5):
+def main(thresh=0.3):
     ds = make_synthetic_dataset(n_frames=8, H=H, W=W, n_samples_gt=64)
     base = dict(n_samples=64, use_fused_kernel=True, compute_dtype="bfloat16")
     cfg0 = ExperimentConfig(
         render=RenderConfig(**base, ert_eps=0.0),
         train=TrainConfig(n_rand=2048),
     )
-    state = get_state(n_train, ds, cfg0)
+    state = get_state(ds, cfg0)
     data = dataset_to_device(ds)
 
     ref = bench_variant("noskip", cfg0, ds, state, data)
-    cfg_tiles = ExperimentConfig(render=RenderConfig(
-        **base, ert_eps=0.0, spatial_tiles=True), train=cfg0.train)
-    bench_variant("tiles_only", cfg_tiles, ds, state, data)
-    cfg_ert = ExperimentConfig(render=RenderConfig(
-        **base, ert_eps=1e-4, spatial_tiles=True), train=cfg0.train)
-    r1 = bench_variant("ert", cfg_ert, ds, state, data, ref=ref)
-    occ_density(cfg0, ds, state, data, thresh)
-    cfg_occ = ExperimentConfig(render=RenderConfig(
-        **base, ert_eps=1e-4, spatial_tiles=True, occ_sigma_thresh=thresh),
-        train=cfg0.train)
-    r2 = bench_variant("ert_occ", cfg_occ, ds, state, data, ref=ref)
+    occ_density(cfg0, ds, state, data, thresh, 64)
+    occ_density(cfg0, ds, state, data, thresh, 48)
+    for name, rc in (
+        ("ert_occ_g64", RenderConfig(**base, ert_eps=1e-4, spatial_tiles=True,
+                                     occ_sigma_thresh=thresh)),
+        ("ert_occ_g48", RenderConfig(**base, ert_eps=1e-4, spatial_tiles=True,
+                                     occ_sigma_thresh=thresh, occ_grid_res=48)),
+        ("ert3_occ_g48", RenderConfig(**base, ert_eps=1e-3, spatial_tiles=True,
+                                      occ_sigma_thresh=thresh, occ_grid_res=48)),
+        ("occ_only_g48", RenderConfig(**base, ert_eps=0.0, spatial_tiles=True,
+                                      occ_sigma_thresh=thresh, occ_grid_res=48)),
+    ):
+        cfg = ExperimentConfig(render=rc, train=cfg0.train)
+        bench_variant(name, cfg, ds, state, data, ref=ref)
 
 
 if __name__ == "__main__":
-    main(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 2000,
-        float(sys.argv[2]) if len(sys.argv) > 2 else 0.5,
-    )
+    main(float(sys.argv[1]) if len(sys.argv) > 1 else 0.3)

@@ -1,0 +1,329 @@
+"""Quality evidence for the 0.1 dB parity budget (VERDICT round-1 item 4).
+
+Two experiments, results written to docs/QUALITY.md + one JSON line:
+
+1. 200-step TRAINING-DYNAMICS overlay vs a PyTorch oracle: identical
+   converted weights, identical per-step random ray batches, identical
+   staged-Adam schedule — the per-step loss curves and the final decoder
+   parameters must track (fp32, CPU). This extends the 5-step parity test
+   (tests/test_train_parity.py) to a curve long enough to expose
+   compounding optimizer drift.
+2. On-chip CONVERGENCE: train the synthetic audio-driven scene and record
+   the held-out val-PSNR curve (the reference's quality metric,
+   run_nerf_com_trainExpLater.py:1070-1077).
+
+    python benchmarks/quality_report.py [n_oracle_steps] [n_train_steps]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE = os.environ.get("DFANERF_REFERENCE", "/root/reference")
+
+
+def oracle_overlay(n_steps=200, R=128, S=8, lr=5e-4):
+    """Returns dict with per-step losses for torch + jax and param diffs."""
+    sys.path.insert(0, os.path.join(REFERENCE, "NeRFs", "DFANeRF"))
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+    from decoder import Decoder as TorchDecoder
+    from run_nerf_helpers import AudioNet_W2L, ExpressionEnc
+
+    import jax
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.compat.torch_ckpt import (
+        audionet_w2l_from_torch, decoder_from_torch, expression_enc_from_torch,
+    )
+    from dfanerf_tpu.config import RenderConfig
+    from dfanerf_tpu.models import DecoderConfig
+    from dfanerf_tpu.models.encoders import (
+        apply_audionet_w2l, apply_expression_enc,
+    )
+    from dfanerf_tpu.render.fields import render_ray_batch
+    from dfanerf_tpu.train.optim import adam_init, adam_update
+
+    torch.manual_seed(0)
+    cfg = DecoderConfig()
+    rcfg = RenderConfig(n_samples=S)
+    tdec = TorchDecoder(z_dim=256, hidden_size=256, dim_signal=96,
+                        use_deformation_field=True)
+    taud = AudioNet_W2L()
+    texp = ExpressionEnc()
+    params = {
+        "decoder": decoder_from_torch(tdec.state_dict()),
+        "audnet": audionet_w2l_from_torch(taud.state_dict()),
+        "expnet": expression_enc_from_torch(texp.state_dict()),
+    }
+    rng = np.random.RandomState(1)
+    et = rng.randn(42).astype(np.float32)
+    z_s = rng.randn(2, 256).astype(np.float32)
+    z_a = rng.randn(2, 256).astype(np.float32)
+    z_np = np.broadcast_to(
+        np.linspace(0.3, 0.9, S, dtype=np.float32), (R, S)
+    ).copy()
+
+    def batch(step):
+        b = np.random.RandomState(1000 + step)
+        return dict(
+            aud=b.randn(1, 512).astype(np.float32),
+            exp=b.randn(1, 64).astype(np.float32),
+            ro=(b.randn(R, 3) * 0.05).astype(np.float32),
+            rd=(b.randn(R, 3) * 0.2 + np.array([0, 0, -1.0])).astype(np.float32),
+            ro_t=(b.randn(R, 3) * 0.05).astype(np.float32),
+            rd_t=(b.randn(R, 3) * 0.2 + np.array([0, 0, -1.0])).astype(np.float32),
+            bc=b.rand(R, 3).astype(np.float32),
+            th=b.rand(R, 3).astype(np.float32),
+            tc=b.rand(R, 3).astype(np.float32),
+        )
+
+    opt_dec = torch.optim.Adam(tdec.parameters(), lr=lr, betas=(0.9, 0.999))
+    opt_aud = torch.optim.Adam(taud.parameters(), lr=lr, betas=(0.9, 0.999))
+
+    def torch_step(d):
+        signal = torch.cat(
+            [taud(torch.tensor(d["aud"])), texp(torch.tensor(d["exp"]))], dim=1
+        )
+        tz = torch.tensor(z_np)
+
+        def field(o, di, sig, zi_s, zi_a, branch):
+            pts = torch.tensor(o)[:, None, :] + \
+                torch.tensor(di)[:, None, :] * tz[..., None]
+            rd = torch.tensor(di)[:, None, :].expand(R, S, 3)
+            feat, sigma = tdec(
+                pts.reshape(1, -1, 3), rd.reshape(1, -1, 3),
+                torch.tensor(zi_s[None]), torch.tensor(zi_a[None]), sig, branch,
+            )
+            return feat.reshape(R, S, 3), sigma.reshape(R, S)
+
+        feat_h, sig_h = field(d["ro"], d["rd"], [signal, None],
+                              z_s[0], z_a[0], "head")
+        feat_t, sig_t = field(d["ro_t"], d["rd_t"], torch.tensor(et[None]),
+                              z_s[1], z_a[1], "torso")
+        sig_h, sig_t = F.relu(sig_h), F.relu(sig_t)
+        feat_h = torch.cat(
+            [feat_h[:, :-1], torch.tensor(d["bc"])[:, None, :]], dim=1
+        )
+        bump = torch.zeros(R, S)
+        bump[:, -1] = 1e-6
+        sig_hh = sig_h + bump
+        sig_tc = sig_t.clone()
+        sig_tc[:, -1] = 0.0
+        sig_tc = sig_tc + bump
+
+        def weights(zv, rd, sigma):
+            dists = zv[:, 1:] - zv[:, :-1]
+            dists = torch.cat([dists, torch.full_like(dists[:, :1], 1e10)], 1)
+            dists = dists * torch.tensor(rd).norm(dim=-1, keepdim=True)
+            alpha = 1 - torch.exp(-(F.relu(sigma) + 1e-6) * dists)
+            trans = torch.cumprod(
+                torch.cat([torch.ones(R, 1), 1 - alpha + 1e-10], 1), 1
+            )[:, :-1]
+            return alpha * trans
+
+        rgb_head = (weights(tz, d["rd"], sig_hh)[..., None] * feat_h).sum(1)
+        ssum = sig_h + sig_tc
+        denom = ssum.clone()
+        denom[denom == 0] = 1e-4
+        cmix = (sig_h[..., None] * feat_h + sig_tc[..., None] * feat_t) \
+            / denom[..., None]
+        rgb_com = (weights(tz, d["rd_t"], ssum)[..., None] * cmix).sum(1)
+        loss = F.mse_loss(rgb_head, torch.tensor(d["th"])) + \
+            F.mse_loss(rgb_com, torch.tensor(d["tc"]))
+        opt_dec.zero_grad()
+        opt_aud.zero_grad()
+        texp.zero_grad()
+        loss.backward()
+        opt_dec.step()
+        opt_aud.step()
+        return float(loss)
+
+    opt = {k: adam_init(params[k]) for k in ("decoder", "audnet", "expnet")}
+
+    def our_loss(p, d):
+        sig = jnp.concatenate([
+            apply_audionet_w2l(p["audnet"], jnp.asarray(d["aud"]))[0],
+            apply_expression_enc(p["expnet"], jnp.asarray(d["exp"]))[0],
+        ])
+        rgb_head, rgb_com = render_ray_batch(
+            p["decoder"], cfg, rcfg,
+            jnp.asarray(d["ro"]), jnp.asarray(d["rd"]),
+            jnp.asarray(d["ro_t"]), jnp.asarray(d["rd_t"]),
+            jnp.asarray(z_np), sig, jnp.asarray(et),
+            jnp.asarray(z_s[0]), jnp.asarray(z_a[0]),
+            jnp.asarray(z_s[1]), jnp.asarray(z_a[1]),
+            jnp.asarray(d["bc"]),
+        )
+        return (jnp.mean((rgb_head - jnp.asarray(d["th"])) ** 2)
+                + jnp.mean((rgb_com - jnp.asarray(d["tc"])) ** 2))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=())
+    def our_step(params, opt, d):
+        loss, grads = jax.value_and_grad(our_loss)(params, d)
+        new_p, new_o = dict(params), dict(opt)
+        for name in ("decoder", "audnet"):
+            new_p[name], new_o[name] = adam_update(
+                opt[name], grads[name], params[name], lr, jnp.int32(1)
+            )
+        return new_p, new_o, loss
+
+    t_losses, j_losses = [], []
+    for step in range(n_steps):
+        d = batch(step)
+        t_losses.append(torch_step(d))
+        dj = {k: jnp.asarray(v) for k, v in d.items()}
+        params, opt, l = our_step(params, opt, dj)
+        j_losses.append(float(l))
+
+    final_torch = decoder_from_torch(tdec.state_dict())
+    max_diff = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        params["decoder"], final_torch,
+    )))
+    mean_diff = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).mean()),
+        params["decoder"], final_torch,
+    )))
+    rel = [abs(a - b) / max(abs(b), 1e-12) for a, b in zip(j_losses, t_losses)]
+    return {
+        "n_steps": n_steps,
+        "torch_loss_first_last": [t_losses[0], t_losses[-1]],
+        "jax_loss_first_last": [j_losses[0], j_losses[-1]],
+        "max_rel_loss_divergence": max(rel),
+        "final_decoder_param_max_abs_diff": max_diff,
+        "final_decoder_param_mean_abs_diff": mean_diff,
+        "torch_losses_every10": t_losses[::10],
+        "jax_losses_every10": j_losses[::10],
+    }
+
+
+def convergence_curve(n_steps=4000, every=500, H=256):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.config import ExperimentConfig, RenderConfig, TrainConfig
+    from dfanerf_tpu.data import make_synthetic_dataset
+    from dfanerf_tpu.render.renderer import (
+        encode_frame_signals, make_frame_renderer,
+    )
+    from dfanerf_tpu.train import (
+        dataset_to_device, init_train_state, make_train_step,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = ExperimentConfig(
+        render=RenderConfig(
+            n_samples=64, use_fused_kernel=on_tpu,
+            compute_dtype="bfloat16" if on_tpu else "float32",
+        ),
+        train=TrainConfig(n_rand=2048),
+    )
+    ds = make_synthetic_dataset(n_frames=16, H=H, W=H, n_samples_gt=64)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    data = dataset_to_device(ds)
+    step = make_train_step(cfg, ds)
+    render = make_frame_renderer(cfg, ds.hwfcxy, ds.near, ds.far)
+    sig_fn = jax.jit(
+        lambda p, i: encode_frame_signals(
+            p, data["auds"], data["exps"], data["poses"], i,
+            data["auds"].shape[0], cfg, True,
+        )
+    )
+
+    def val_psnr(state):
+        ses = []
+        for i in np.asarray(ds.i_val):
+            sig, sig_t = sig_fn(state["params"], jnp.int32(int(i)))
+            pred = render(
+                state["params"], state["z_shape"], state["z_app"],
+                data["poses"][int(i)], data["poses"][0], sig, sig_t,
+                data["bc_img"],
+            )[1]
+            pred = np.asarray(jnp.clip(pred, 0, 1))
+            gt = np.asarray(ds.imgs_com[int(i)]).astype(np.float32) / 255.0
+            ses.append(float(np.mean((pred - gt) ** 2)))
+        return float(-10.0 * np.log10(np.mean(ses)))
+
+    key = jax.random.PRNGKey(1)
+    curve = []
+    for s in range(0, n_steps, every):
+        for _ in range(every):
+            key, sub = jax.random.split(key)
+            state, m = step(state, data, sub)
+        jax.block_until_ready(m["loss"])
+        curve.append((s + every, round(val_psnr(state), 3)))
+    return {"res": H, "val_psnr_curve": curve}
+
+
+def main(n_oracle=200, n_train=4000):
+    report = {}
+    if os.path.isdir(os.path.join(REFERENCE, "NeRFs", "DFANeRF")):
+        t0 = time.time()
+        report["oracle_overlay"] = oracle_overlay(n_oracle)
+        report["oracle_seconds"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    report["convergence"] = convergence_curve(n_train)
+    report["convergence_seconds"] = round(time.time() - t0, 1)
+
+    md = ["# Quality evidence", ""]
+    if "oracle_overlay" in report:
+        o = report["oracle_overlay"]
+        md += [
+            "## Training-dynamics overlay vs the PyTorch oracle",
+            "",
+            f"{o['n_steps']} optimizer steps, identical converted weights and",
+            "per-step random batches (fp32, CPU; extends the 5-step parity",
+            "test in tests/test_train_parity.py):",
+            "",
+            f"- max relative per-step loss divergence: "
+            f"**{o['max_rel_loss_divergence']:.2e}**",
+            f"- final decoder params: max |Δ| = "
+            f"{o['final_decoder_param_max_abs_diff']:.2e}, "
+            f"mean |Δ| = {o['final_decoder_param_mean_abs_diff']:.2e}",
+            "",
+            "| step | torch loss | jax loss |",
+            "|---|---|---|",
+        ]
+        for i, (tl, jl) in enumerate(zip(o["torch_losses_every10"],
+                                         o["jax_losses_every10"])):
+            md.append(f"| {i * 10} | {tl:.6f} | {jl:.6f} |")
+        md.append("")
+    c = report["convergence"]
+    md += [
+        "## On-chip convergence (synthetic audio-driven scene)",
+        "",
+        f"Held-out val PSNR at {c['res']}p (the reference's quality metric,",
+        "run_nerf_com_trainExpLater.py:1070-1077):",
+        "",
+        "| step | val PSNR (dB) |",
+        "|---|---|",
+    ]
+    for s, p in c["val_psnr_curve"]:
+        md.append(f"| {s} | {p} |")
+    md.append("")
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "QUALITY.md")
+    with open(out, "w") as f:
+        f.write("\n".join(md))
+    print(json.dumps({
+        "max_rel_loss_divergence": report.get("oracle_overlay", {}).get(
+            "max_rel_loss_divergence"),
+        "final_val_psnr": c["val_psnr_curve"][-1][1],
+        "report": out,
+    }))
+
+
+if __name__ == "__main__":
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 200,
+        int(sys.argv[2]) if len(sys.argv) > 2 else 4000,
+    )

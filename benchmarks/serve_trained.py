@@ -88,7 +88,12 @@ def val_psnr(cfg, ds, state, data):
     return float(-10.0 * np.log10(np.mean(ses)))
 
 
-def main(n_train=4000, occ_thresh=0.3, bake_steps=1500, bake_lambda=2e-3):
+def _log(msg):
+    print(f"[serve_trained] {msg}", file=sys.stderr, flush=True)
+
+
+def run(n_train=4000, occ_thresh=0.3, bake_steps=1500, bake_lambda=2e-3):
+    """Train + bake + serve; returns the result dict (main() prints it)."""
     base = dict(n_samples=64, use_fused_kernel=True, compute_dtype="bfloat16")
     cfg0 = ExperimentConfig(
         render=RenderConfig(**base, ert_eps=0.0),
@@ -99,32 +104,38 @@ def main(n_train=4000, occ_thresh=0.3, bake_steps=1500, bake_lambda=2e-3):
     data = dataset_to_device(ds)
 
     t0 = time.time()
+    _log("training...")
     step = make_train_step(cfg0, ds)
     state, m, key = run_steps(step, state, data, n_train, jax.random.PRNGKey(1))
     train_s = time.time() - t0
+    _log(f"trained in {train_s:.0f}s; eval psnr...")
     psnr_trained = val_psnr(cfg0, ds, state, data)
 
     t0 = time.time()
+    _log("baking...")
     bake = make_train_step(cfg0, ds, sparsity_lambda=bake_lambda)
     state, m, key = run_steps(bake, state, data, bake_steps, key)
     bake_s = time.time() - t0
+    _log(f"baked in {bake_s:.0f}s; eval psnr...")
     psnr_baked = val_psnr(cfg0, ds, state, data)
 
     # serving: no-skip baseline vs ERT + occupancy on the SAME weights
+    _log("bench noskip...")
     frame0 = make_frame_fn(cfg0, ds, state, data)
     fps_noskip = bench_fps(frame0)
     ref_img = frame0(19)
 
     cfg1 = ExperimentConfig(
         render=RenderConfig(**base, ert_eps=1e-4, spatial_tiles=True,
-                            occ_sigma_thresh=occ_thresh),
+                            occ_sigma_thresh=occ_thresh, occ_grid_res=48),
         train=cfg0.train,
     )
+    _log(f"noskip {fps_noskip:.2f} fps; bench skip...")
     frame1 = make_frame_fn(cfg1, ds, state, data)
     fps_skip = bench_fps(frame1)
     max_err = float(jnp.abs(frame1(19) - ref_img).max())
 
-    print(json.dumps({
+    return {
         "metric": "450p trained+baked serving fps (fused kernel, ERT+occupancy)",
         "value": round(fps_skip, 3),
         "unit": "fps",
@@ -142,7 +153,11 @@ def main(n_train=4000, occ_thresh=0.3, bake_steps=1500, bake_lambda=2e-3):
             "train_seconds": round(train_s, 1),
             "bake_seconds": round(bake_s, 1),
         },
-    }))
+    }
+
+
+def main(*args, **kwargs):
+    print(json.dumps(run(*args, **kwargs)))
 
 
 if __name__ == "__main__":
@@ -150,4 +165,5 @@ if __name__ == "__main__":
         int(sys.argv[1]) if len(sys.argv) > 1 else 4000,
         float(sys.argv[2]) if len(sys.argv) > 2 else 0.3,
         int(sys.argv[3]) if len(sys.argv) > 3 else 1500,
+        float(sys.argv[4]) if len(sys.argv) > 4 else 2e-3,
     )

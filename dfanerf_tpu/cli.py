@@ -23,10 +23,14 @@ def _build_parser():
 
     pp = sub.add_parser("process", help="run preprocessing steps")
     pp.add_argument("--id-dir", required=True)
-    pp.add_argument("--step", type=int, required=True, help="-1..11")
+    pp.add_argument("--step", type=int, required=True,
+                    help="-1..11 (ba variant) or 0..6 (nonba variant)")
     pp.add_argument("--video", default=None)
     pp.add_argument("--dst-size", type=int, default=512)
     pp.add_argument("--assets", default=None, help="json file of PipelineAssets paths")
+    pp.add_argument("--variant", choices=("ba", "nonba"), default="ba",
+                    help="ba = 12-step process_data_ba.py DAG; nonba = the "
+                         "7-step AD-NeRF-style process_data.py DAG")
 
     tp = sub.add_parser("train", help="train the conditioned NeRF")
     tp.add_argument("--config", default=None, help="ExperimentConfig json")
@@ -105,24 +109,37 @@ def cmd_process(args):
             assets = PipelineAssets(**json.load(f))
     d = PipelineDriver(args.id_dir, assets, args.dst_size)
     step = args.step
-    table = {
-        -1: lambda: d.step_reencode(args.video),
-        0: lambda: d.step_audio(args.video or os.path.join(args.id_dir, f"{d.id}_25fps.mp4")),
-        1: lambda: d.step_frames(args.video or os.path.join(args.id_dir, f"{d.id}_25fps.mp4")),
-        2: d.step_landmarks,
-        3: d.step_parsing,
-        4: d.step_background,
-        5: d.step_compose,
-        6: d.step_flow,
-        7: d.step_track,
-        8: d.step_bundle_adjust,
-        9: d.step_transforms,
-        10: d.step_disentangle,
-        11: d.step_wav2exp,
-    }
-    print(f"[process] step {step}")
+    video = args.video or os.path.join(args.id_dir, f"{d.id}_25fps.mp4")
+    if args.variant == "nonba":
+        table = {
+            0: lambda: d.step_audio(video),
+            1: lambda: d.step_frames(video),
+            2: d.step_landmarks,
+            3: d.step_parsing,
+            4: d.step_background,
+            5: d.step_compose,
+            6: lambda: (d.step_track(out_name="track_params.pt"),
+                        d.step_transforms_nonba()),
+        }
+    else:
+        table = {
+            -1: lambda: d.step_reencode(args.video),
+            0: lambda: d.step_audio(video),
+            1: lambda: d.step_frames(video),
+            2: d.step_landmarks,
+            3: d.step_parsing,
+            4: d.step_background,
+            5: d.step_compose,
+            6: d.step_flow,
+            7: d.step_track,
+            8: d.step_bundle_adjust,
+            9: d.step_transforms,
+            10: d.step_disentangle,
+            11: d.step_wav2exp,
+        }
+    print(f"[process:{args.variant}] step {step}")
     table[step]()
-    print(f"[process] step {step} done")
+    print(f"[process:{args.variant}] step {step} done")
 
 
 def cmd_train(args):

@@ -43,6 +43,9 @@ class RenderConfig:
     # ops/fused_render.py:conservative_occupancy) skip a field's slab when
     # its density stays under this threshold across the whole frustum chunk.
     # 0 = off. Alphas in skipped slabs are bounded by thresh * slab_span.
+    occ_grid_res: int = 64  # density-grid resolution for the occupancy SAT
+    # (two [G^3] sigma-only forwards per frame; 48 halves prep time, 96
+    # tightens the flags)
     spatial_tiles: bool = False  # map 16x16 pixel blocks to kernel ray tiles
     # (pays only when ERT/occupancy can skip solid blocks; costs ~6% ray
     # padding otherwise, so off unless serving a converged sparse model)

@@ -31,7 +31,11 @@ Params = Dict[str, Any]
 
 @dataclasses.dataclass(frozen=True)
 class HRNetConfig:
-    """Shipped hrnet_hm.yaml EXTRA block."""
+    """Shipped hrnet_hm.yaml EXTRA block (face variant). ``head="pose"``
+    with ``up_mode="nearest"`` selects lib/models/pose_hrnet.py semantics:
+    nearest-neighbor fuse upsampling (pose_hrnet.py:151) and a single conv
+    head on the highest-resolution branch (:323-330,458) instead of the
+    face variant's concat-all-branches head."""
 
     num_joints: int = 68
     final_conv_kernel: int = 1
@@ -39,10 +43,24 @@ class HRNetConfig:
     stage2: Tuple = (1, 2, (4, 4), (18, 36))
     stage3: Tuple = (4, 3, (4, 4, 4), (18, 36, 72))
     stage4: Tuple = (3, 4, (4, 4, 4, 4), (18, 36, 72, 144))
+    head: str = "face"        # "face" (concat head) | "pose" (branch-0 conv)
+    up_mode: str = "linear"   # fuse upsampling: "linear" | "nearest"
+
+
+def pose_hrnet_config(num_joints: int = 68,
+                      final_conv_kernel: int = 1) -> HRNetConfig:
+    """PoseHighResolutionNet (lib/models/pose_hrnet.py get_pose_net)."""
+    return HRNetConfig(num_joints=num_joints,
+                       final_conv_kernel=final_conv_kernel,
+                       head="pose", up_mode="nearest")
+
+
+def _resize(x, hw, mode="linear"):
+    return jax.image.resize(x, (x.shape[0], hw[0], hw[1], x.shape[3]), mode)
 
 
 def _resize_bilinear(x, hw):
-    return jax.image.resize(x, (x.shape[0], hw[0], hw[1], x.shape[3]), "linear")
+    return _resize(x, hw, "linear")
 
 
 # --- init ---------------------------------------------------------------------
@@ -81,7 +99,11 @@ def _init_bottleneck(key, cin, planes, stride=1):
     return p
 
 
-def _init_hr_module(key, n_branches, n_blocks, channels):
+def _init_hr_module(key, n_branches, n_blocks, channels, n_out=None):
+    """n_out < n_branches = the torch multi_scale_output=False case (the
+    pose variant's final stage4 module fuses into branch 0 only,
+    pose_hrnet.py:218-224)."""
+    n_out = n_branches if n_out is None else n_out
     ks = jax.random.split(key, n_branches + n_branches * n_branches)
     ki = iter(ks)
     branches = []
@@ -89,7 +111,7 @@ def _init_hr_module(key, n_branches, n_blocks, channels):
         kb = jax.random.split(next(ki), n_blocks[b])
         branches.append([_init_basic(kb[i], channels[b], channels[b]) for i in range(n_blocks[b])])
     fuse = []
-    for i in range(n_branches):
+    for i in range(n_out):
         row = []
         for j in range(n_branches):
             if j > i:
@@ -138,17 +160,29 @@ def init_hrnet(key: jax.Array, cfg: HRNetConfig = HRNetConfig()) -> Params:
                     seq.append(_init_convbn(next(ki), cin, cout, 3, stride=2))
                 trans.append({"down": seq})
         p[f"transition{int(name)-1}"] = trans
+        # pose head consumes only branch 0: the last stage4 module fuses
+        # into a single output (multi_scale_output=False)
+        single_out = cfg.head == "pose" and name == "4"
         p[f"stage{name}"] = [
-            _init_hr_module(next(ki), n_br, n_blocks, list(channels))
-            for _ in range(n_mod)
+            _init_hr_module(
+                next(ki), n_br, n_blocks, list(channels),
+                n_out=1 if (single_out and m == n_mod - 1) else None,
+            )
+            for m in range(n_mod)
         ]
         prev_channels = list(channels)
-    total = sum(cfg.stage4[3])
-    p["head"] = {
-        "conv1": init_conv(next(ki), total, total, 1),
-        "bn1": init_bn(total),
-        "conv2": init_conv(next(ki), total, cfg.num_joints, cfg.final_conv_kernel),
-    }
+    if cfg.head == "pose":
+        p["final"] = init_conv(
+            next(ki), cfg.stage4[3][0], cfg.num_joints, cfg.final_conv_kernel
+        )
+    else:
+        total = sum(cfg.stage4[3])
+        p["head"] = {
+            "conv1": init_conv(next(ki), total, total, 1),
+            "bn1": init_bn(total),
+            "conv2": init_conv(next(ki), total, cfg.num_joints,
+                               cfg.final_conv_kernel),
+        }
     return p
 
 
@@ -194,7 +228,7 @@ def _apply_transition(trans, feats):
     return out
 
 
-def _apply_hr_module(p, xs):
+def _apply_hr_module(p, xs, up_mode="linear"):
     n = len(xs)
     xs = [x for x in xs]
     for b in range(n):
@@ -209,7 +243,7 @@ def _apply_hr_module(p, xs):
                 t = xs[j]
             elif j > i:
                 t = _convbn_relu(f["up"], xs[j], padding=0, relu=False)
-                t = _resize_bilinear(t, (xs[i].shape[1], xs[i].shape[2]))
+                t = _resize(t, (xs[i].shape[1], xs[i].shape[2]), up_mode)
             else:
                 t = xs[j]
                 for k, seq in enumerate(f["down"]):
@@ -230,11 +264,13 @@ def apply_hrnet(params: Params, x: jnp.ndarray, cfg: HRNetConfig = HRNetConfig()
                          ("stage4", "transition3")):
         feats = _apply_transition(params[tname], feats)
         for mod in params[sname]:
-            feats = _apply_hr_module(mod, feats)
+            feats = _apply_hr_module(mod, feats, cfg.up_mode)
+    pad = 1 if cfg.final_conv_kernel == 3 else 0
+    if cfg.head == "pose":
+        return conv2d(params["final"], feats[0], padding=pad)
     h, w = feats[0].shape[1], feats[0].shape[2]
     ups = [feats[0]] + [_resize_bilinear(f, (h, w)) for f in feats[1:]]
     x = jnp.concatenate(ups, axis=-1)
-    pad = 1 if cfg.final_conv_kernel == 3 else 0
     x = jax.nn.relu(batchnorm(params["head"]["bn1"], conv2d(params["head"]["conv1"], x, padding=pad)))
     return conv2d(params["head"]["conv2"], x, padding=pad)
 
@@ -294,7 +330,13 @@ def hrnet_from_torch(sd: Mapping[str, Any], cfg: HRNetConfig = HRNetConfig()) ->
                 for b in range(n_br)
             ]
             fuse = []
-            for i in range(n_br):
+            # rows present in the state dict (the pose variant's last
+            # stage4 module has a single fuse row: multi_scale_output=False)
+            n_rows = sum(
+                1 for i in range(n_br)
+                if any(k.startswith(f"{sname}.{m}.fuse_layers.{i}.") for k in sd)
+            )
+            for i in range(n_rows):
                 row = []
                 for j in range(n_br):
                     base = f"{sname}.{m}.fuse_layers.{i}.{j}"
@@ -311,9 +353,12 @@ def hrnet_from_torch(sd: Mapping[str, Any], cfg: HRNetConfig = HRNetConfig()) ->
             mods.append({"branches": branches, "fuse": fuse})
         p[sname] = mods
         prev_n = n_br
-    p["head"] = {
-        "conv1": conv_from_torch(sd, "head.0"),
-        "bn1": bn_from_torch(sd, "head.1"),
-        "conv2": conv_from_torch(sd, "head.3"),
-    }
+    if cfg.head == "pose":
+        p["final"] = conv_from_torch(sd, "final_layer")
+    else:
+        p["head"] = {
+            "conv1": conv_from_torch(sd, "head.0"),
+            "bn1": bn_from_torch(sd, "head.1"),
+            "conv2": conv_from_torch(sd, "head.3"),
+        }
     return p

@@ -98,10 +98,15 @@ def init_mobilenet_v2(key: jax.Array, width_mult: float = 1.0) -> Params:
 
 
 def apply_mobilenet_v2(
-    params: Params, x: jnp.ndarray, width_mult: float = 1.0
+    params: Params, x: jnp.ndarray, width_mult: float = 1.0,
+    n_blocks: int = None
 ) -> jnp.ndarray:
-    """x: [N, H, W, 3] -> features [N, H/32, W/32, 1280]."""
+    """x: [N, H, W, 3] -> features [N, H/32, W/32, 1280]. ``n_blocks``
+    truncates the feature stack (the ghost-head variant consumes
+    features[:14] — 1/16 resolution, 96 channels)."""
     plan, _ = _block_plan(width_mult)
+    if n_blocks is not None:
+        plan = plan[:n_blocks]
     for spec, b in zip(plan, params["blocks"]):
         if spec[0] in ("stem", "last"):
             _, cin, cout, k, s = spec
@@ -124,30 +129,34 @@ def apply_mobilenet_v2(
     return x
 
 
-def mobilenet_v2_from_torch(sd: Mapping[str, Any], width_mult: float = 1.0) -> Params:
+def mobilenet_v2_from_torch(sd: Mapping[str, Any], width_mult: float = 1.0,
+                            prefix: str = "features",
+                            n_blocks: int = None) -> Params:
     """Convert a torchvision-layout MobileNetV2 ``features`` state_dict
     (the reference's MobileNetV2 class uses the same module names)."""
     plan, _ = _block_plan(width_mult)
+    if n_blocks is not None:
+        plan = plan[:n_blocks]
     blocks = []
     for fi, spec in enumerate(plan):
         if spec[0] in ("stem", "last"):
             blocks.append({
                 "kind": spec[0],
-                "convbn": {"conv": conv_from_torch(sd, f"features.{fi}.0"),
-                            "bn": bn_from_torch(sd, f"features.{fi}.1")},
+                "convbn": {"conv": conv_from_torch(sd, f"{prefix}.{fi}.0"),
+                            "bn": bn_from_torch(sd, f"{prefix}.{fi}.1")},
             })
         else:
             t = spec[4]
             b: Params = {"kind": "ir"}
             ci = 0
             if t != 1:
-                b["expand"] = {"conv": conv_from_torch(sd, f"features.{fi}.conv.{ci}.0"),
-                                "bn": bn_from_torch(sd, f"features.{fi}.conv.{ci}.1")}
+                b["expand"] = {"conv": conv_from_torch(sd, f"{prefix}.{fi}.conv.{ci}.0"),
+                                "bn": bn_from_torch(sd, f"{prefix}.{fi}.conv.{ci}.1")}
                 ci += 1
-            b["dw"] = {"conv": conv_from_torch(sd, f"features.{fi}.conv.{ci}.0"),
-                        "bn": bn_from_torch(sd, f"features.{fi}.conv.{ci}.1")}
-            b["project"] = {"conv": conv_from_torch(sd, f"features.{fi}.conv.{ci+1}"),
-                             "bn": bn_from_torch(sd, f"features.{fi}.conv.{ci+2}")}
+            b["dw"] = {"conv": conv_from_torch(sd, f"{prefix}.{fi}.conv.{ci}.0"),
+                        "bn": bn_from_torch(sd, f"{prefix}.{fi}.conv.{ci}.1")}
+            b["project"] = {"conv": conv_from_torch(sd, f"{prefix}.{fi}.conv.{ci+1}"),
+                             "bn": bn_from_torch(sd, f"{prefix}.{fi}.conv.{ci+2}")}
             blocks.append(b)
     return {"blocks": blocks, "plan": None}
 
@@ -182,3 +191,118 @@ def apply_face_mobilenet_heatmap(
         f = _relu6(batchnorm(params[head]["bn"],
                              conv2d(params[head]["conv"], f, padding=1)))
     return conv2d(params["final"], f)
+
+
+# --- ghost-module head variant (face_mobilenet_ghostHead.py) -----------------
+
+# one entry per head level: (num_layers, exp_size, out_ch, kernel, use_se,
+# stride) — stride 2 inserts a 2x bilinear upsample BEFORE the bottlenecks
+# (face_mobilenet_ghostHead.py:338-371). No yaml ships for this variant; the
+# default mirrors the eye-ghostnet decoder proportions at face widths.
+DEFAULT_GHOSTHEAD_SPEC = (
+    (1, 200, 96, 3, 1, 2),
+    (1, 120, 64, 3, 1, 2),
+)
+_GHOSTHEAD_BACKBONE_BLOCKS = 14  # before_layer3 = features[:14] (:200-202)
+
+
+def init_face_mobilenet_ghosthead(
+    key: jax.Array, n_joints: int = 68, spec=DEFAULT_GHOSTHEAD_SPEC,
+    final_kernel: int = 1, width_mult: float = 1.0,
+) -> Params:
+    """FaceMobilenet with the GhostBottleneck decoder head
+    (face_mobilenet_ghostHead.py get_face_net): MobileNetV2 features[:14]
+    (96ch at 1/16) -> ghost head -> final conv to n_joints heatmaps."""
+    from dfanerf_tpu.models.perception.ghostnet_eye import _init_bottleneck
+
+    n_bn = sum(n for n, *_ in spec)
+    ks = jax.random.split(key, 2 + n_bn)
+    ki = iter(ks)
+    p: Params = {"backbone": init_mobilenet_v2(next(ki), width_mult)}
+    p["backbone"]["blocks"] = p["backbone"]["blocks"][:_GHOSTHEAD_BACKBONE_BLOCKS]
+    inp = 96
+    head = []
+    for n_layer, exp, out, k, use_se, s in spec:
+        for _ in range(n_layer):
+            head.append(_init_bottleneck(next(ki), inp, exp, out, k, 1, use_se))
+            inp = out
+    p["head"] = head
+    p["final"] = init_conv(next(ki), inp, n_joints, final_kernel)
+    return p
+
+
+def apply_face_mobilenet_ghosthead(
+    params: Params, x: jnp.ndarray, spec=DEFAULT_GHOSTHEAD_SPEC,
+    final_kernel: int = 1, width_mult: float = 1.0,
+) -> jnp.ndarray:
+    """x [N, 256, 256, 3] -> heatmaps [N, 64, 64, n_joints] with the
+    default spec (1/16 backbone + two 2x upsampled ghost levels -> 1/4...
+    actually 1/16 * 2 * 2 = 1/4; the head resolution follows the spec)."""
+    from dfanerf_tpu.models.perception.ghostnet_eye import _bottleneck
+
+    f = apply_mobilenet_v2(params["backbone"], x, width_mult,
+                           n_blocks=_GHOSTHEAD_BACKBONE_BLOCKS)
+    hi = 0
+    for n_layer, exp, out, k, use_se, s in spec:
+        if s == 2:
+            f = jax.image.resize(
+                f, (f.shape[0], f.shape[1] * 2, f.shape[2] * 2, f.shape[3]),
+                "linear",
+            )
+        for _ in range(n_layer):
+            f = _bottleneck(params["head"][hi], f, exp, out, k, 1, use_se)
+            hi += 1
+    pad = 1 if final_kernel == 3 else 0
+    return conv2d(params["final"], f, padding=pad)
+
+
+def face_mobilenet_ghosthead_from_torch(
+    sd: Mapping[str, Any], spec=DEFAULT_GHOSTHEAD_SPEC,
+    width_mult: float = 1.0,
+) -> Params:
+    def convbn(cname, bname):
+        return {"conv": conv_from_torch(sd, cname), "bn": bn_from_torch(sd, bname)}
+
+    def ghost(prefix):
+        return {
+            "primary": convbn(f"{prefix}.primary_conv.0",
+                              f"{prefix}.primary_conv.1"),
+            "cheap": convbn(f"{prefix}.cheap_operation.0",
+                            f"{prefix}.cheap_operation.1"),
+        }
+
+    def lin(name):
+        from dfanerf_tpu.models.perception.common import _np32
+
+        return {"w": jnp.asarray(_np32(sd[f"{name}.weight"]).T),
+                "b": jnp.asarray(_np32(sd[f"{name}.bias"]))}
+
+    def bottleneck(prefix, use_se):
+        p = {"ghost1": ghost(f"{prefix}.conv.0")}
+        if use_se:
+            p["se"] = {"fc1": lin(f"{prefix}.conv.2.fc.0"),
+                       "fc2": lin(f"{prefix}.conv.2.fc.2")}
+        p["ghost2"] = ghost(f"{prefix}.conv.3")
+        if f"{prefix}.shortcut.0.0.weight" in sd:
+            p["shortcut"] = {
+                "dw": convbn(f"{prefix}.shortcut.0.0", f"{prefix}.shortcut.0.1"),
+                "pw": convbn(f"{prefix}.shortcut.1", f"{prefix}.shortcut.2"),
+            }
+        return p
+
+    p: Params = {
+        "backbone": mobilenet_v2_from_torch(
+            sd, width_mult, prefix="before_layer3",
+            n_blocks=_GHOSTHEAD_BACKBONE_BLOCKS,
+        ),
+    }
+    head, seq_i = [], 0
+    for n_layer, exp, out, k, use_se, s in spec:
+        if s == 2:
+            seq_i += 1  # the parameter-free Upsample module occupies a slot
+        for _ in range(n_layer):
+            head.append(bottleneck(f"head_layers.{seq_i}", use_se))
+            seq_i += 1
+    p["head"] = head
+    p["final"] = conv_from_torch(sd, "head_final_layer")
+    return p

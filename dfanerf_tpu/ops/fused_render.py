@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from dfanerf_tpu.core.posenc import sincos_posenc
 
 R_T = 256      # rays per tile
-S_SLAB = 8     # samples marched per grid step
+S_SLAB = 8     # samples marched per grid step (16 compiles pathologically slowly)
 PE_PAD = 64
 
 
@@ -145,7 +145,7 @@ def _render_kernel(
     out_head_ref, out_com_ref,
     # scratch: transmittances, accumulators
     t_head, t_com, acc_head, acc_com,
-    *, n_slabs: int, ert_eps: float,
+    *, n_slabs: int, ert_eps: float, bg_in_kernel: bool = True,
 ):
     t = pl.program_id(0)
     j = pl.program_id(1)
@@ -202,9 +202,10 @@ def _render_kernel(
     # duplicated heavy regions), which is why the flags are joint rather
     # than per-field.
     alive = (
-        (jnp.maximum(jnp.max(t_head[:]), jnp.max(t_com[:])) > ert_eps)
-        & (occ_ref[t, j] != 0)
-    ) | is_last
+        jnp.maximum(jnp.max(t_head[:]), jnp.max(t_com[:])) > ert_eps
+    ) & (occ_ref[t, j] != 0)
+    if bg_in_kernel:
+        alive = alive | is_last
 
     def head_eval():
         pe_h = encode(o_h_ref, d_h_ref)
@@ -254,14 +255,18 @@ def _render_kernel(
             ct = rgb_t[sel] if rgb_t is not None else 0.0
             dh_s = dists_h_ref[0, s, :][:, None]
             dt_s = dists_t_ref[0, s, :][:, None]
-            last_sample = is_last & (s == S_SLAB - 1)
-            lastf = last_sample.astype(jnp.float32)
-            # bg-concat: head color at the last sample is the background pixel
-            ch = ch * (1.0 - lastf) + bc * lastf
-            # head-only stack: +1e-6 bump on the last head density
-            sh_head = sh + 1e-6 * lastf
-            # composite stack: torso last density := 0 then +1e-6 bump
-            st_com = st * (1.0 - lastf) + 1e-6 * lastf
+            if bg_in_kernel:
+                last_sample = is_last & (s == S_SLAB - 1)
+                lastf = last_sample.astype(jnp.float32)
+                # bg-concat: head color at the last sample is the bg pixel
+                ch = ch * (1.0 - lastf) + bc * lastf
+                # head-only stack: +1e-6 bump on the last head density
+                sh_head = sh + 1e-6 * lastf
+                # composite stack: torso last density := 0 then +1e-6 bump
+                st_com = st * (1.0 - lastf) + 1e-6 * lastf
+            else:
+                # background handled by the caller's per-ray epilogue
+                sh_head, st_com = sh, st
 
             alpha_h = 1.0 - jnp.exp(-(sh_head + 1e-6) * dh_s)
             ah = ah + (alpha_h * th) * ch
@@ -286,8 +291,15 @@ def _render_kernel(
 
     @pl.when(is_last)
     def _write():
-        out_head_ref[:] = acc_head[:]
-        out_com_ref[:] = acc_com[:]
+        if bg_in_kernel:
+            out_head_ref[:] = acc_head[:]
+            out_com_ref[:] = acc_com[:]
+        else:
+            # rgb accumulators in lanes 0:3; carried transmittance in lane 3
+            # (lane 3 is c_mix garbage otherwise) for the bg epilogue
+            lane = jax.lax.broadcasted_iota(jnp.int32, acc_head.shape, 1)
+            out_head_ref[:] = jnp.where(lane == 3, t_head[:], acc_head[:])
+            out_com_ref[:] = jnp.where(lane == 3, t_com[:], acc_com[:])
 
 
 def spatial_tile_permutation(H: int, W: int, block_h: int = 16, block_w: int = 16):
@@ -461,6 +473,7 @@ def fused_render_rays(
     interpret: bool = False,
     ert_eps: float = 0.0,
     occupancy: "jnp.ndarray" = None,
+    bg_epilogue: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render n rays through both packed fields with the fused kernel.
 
@@ -468,6 +481,14 @@ def fused_render_rays(
         packed_h/packed_t: pack_field_weights outputs for head/torso.
         rays_*: [n, 3]; z_vals: [S] (shared across rays, the shipped
             deterministic linspace); bc_rgb: [n, 3] background pixels.
+        bg_epilogue: handle the background-concat catch-all sample in a
+            per-ray XLA epilogue instead of inside the kernel. Same math
+            (the sample's alpha/mix expressions on the head field's
+            far-plane sigma and the torso's far-plane color), but the
+            kernel's final slab is no longer forced to run both fields for
+            every tile — with occupancy flags this removes the dominant
+            fixed cost (one full slab = 1/n_slabs of the whole frame). The
+            epilogue costs two S-times-smaller single-point field passes.
     Returns:
         rgb_head [n, 3], rgb_com [n, 3] (fp32).
     """
@@ -509,8 +530,12 @@ def fused_render_rays(
     )
 
     def dists_for(rd):
+        # in epilogue mode the S-th sample is the bg catch-all handled
+        # outside the kernel; its in-kernel dist is 0 (exact no-op: alpha =
+        # 1 - exp(0) = 0 whatever the field evaluates to there)
+        tail = 0.0 if bg_epilogue else last_dist
         diffs = jnp.concatenate(
-            [z_vals[1:] - z_vals[:-1], jnp.array([last_dist], z_vals.dtype)]
+            [z_vals[1:] - z_vals[:-1], jnp.array([tail], z_vals.dtype)]
         )  # [S]
         d = diffs[None, :] * jnp.linalg.norm(
             rd.astype(jnp.float32), axis=-1, keepdims=True
@@ -596,7 +621,8 @@ def fused_render_rays(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_render_kernel, n_slabs=n_slabs, ert_eps=ert_eps),
+        functools.partial(_render_kernel, n_slabs=n_slabs, ert_eps=ert_eps,
+                          bg_in_kernel=not bg_epilogue),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
@@ -607,4 +633,245 @@ def fused_render_rays(
       o_h, d_h, o_t, d_t, vr_h, vr_t, aux, freq_row, phase_row, *weight_ops)
 
     out_head, out_com = out
-    return out_head[:n, 0:3], out_com[:n, 0:3]
+    if not bg_epilogue:
+        return out_head[:n, 0:3], out_com[:n, 0:3]
+    return _bg_epilogue(
+        packed_h, packed_t,
+        rays_o[:n], rays_d[:n], rays_o_t[:n], rays_d_t[:n],
+        z_vals, bc_rgb[:n], last_dist,
+        out_head[:n, 0:3], out_com[:n, 0:3],
+        out_head[:n, 3:4], out_com[:n, 3:4],
+    )
+
+
+def _bg_epilogue(pw_h, pw_t, rays_o, rays_d, rays_o_t, rays_d_t, z_vals,
+                 bc_rgb, last_dist, acc_head, acc_com, t_head, t_com):
+    """The background-concat catch-all sample as a per-ray XLA pass —
+    bit-for-bit the expressions the kernel's final sample applies
+    (run_nerf_com_trainExpLater.py:863-886): head stack adds the bg pixel
+    at alpha(sigma_h_far + bumps); composite stack mixes bg vs the torso's
+    far-plane color by raw-sigma ratio with the torso density zeroed then
+    bumped to 1e-6."""
+    far = z_vals[-1]
+    pts_h = rays_o + rays_d * far
+    pts_t = rays_o_t + rays_d_t * far
+    # match the kernel's compute dtype (set by how the weights were packed)
+    dtype = pw_h["w_blocks"].dtype
+    sh = jnp.maximum(
+        packed_sigma_xla(pw_h, pts_h, "head", dtype=dtype), 0.0
+    )[:, None]
+    vb_t = view_bias(pw_t, rays_d_t).astype(jnp.bfloat16)
+    ct, _ = packed_field_xla(pw_t, pts_t, vb_t, "torso", dtype=dtype)  # [n, 3]
+    dh_l = last_dist * jnp.linalg.norm(rays_d.astype(jnp.float32), axis=-1,
+                                       keepdims=True)
+    dt_l = last_dist * jnp.linalg.norm(rays_d_t.astype(jnp.float32), axis=-1,
+                                       keepdims=True)
+    bc = bc_rgb.astype(jnp.float32)
+
+    sh_head = sh + 1e-6
+    alpha_h = 1.0 - jnp.exp(-(sh_head + 1e-6) * dh_l)
+    head = acc_head + (alpha_h * t_head) * bc
+
+    st_com = 1e-6
+    ssum = sh + st_com
+    denom = jnp.where(ssum == 0.0, 1e-4, ssum)
+    c_mix = (sh * bc + st_com * ct) / denom
+    alpha_c = 1.0 - jnp.exp(-(ssum + 1e-6) * dt_l)
+    com = acc_com + (alpha_c * t_com) * c_mix
+    return head, com
+
+
+# ---------------------------------------------------------------------------
+# Head-only kernel with PER-RAY z values — the fused fine pass of the
+# hierarchical (--N_importance) path. Same trunk/encode/compositing as the
+# head stack of the two-field kernel, but z arrives as a per-(tile, slab)
+# [S_SLAB, R_T] block (importance-resampled depths differ per ray).
+# ---------------------------------------------------------------------------
+
+
+def _head_kernel(
+    occ_ref, dists_ref, z_ref,
+    o_ref, d_ref, vr_ref, aux_ref,
+    freq_ref, phase_ref,
+    hw_in, hb_in, hw_blocks, hb_blocks, hw_skip, hb_skip, hw_sf, hb_sf,
+    hw_out, hb_out,
+    out_ref,
+    t_acc, acc,
+    *, n_slabs: int, ert_eps: float,
+):
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+    rows = S_SLAB * R_T
+    is_last = j == n_slabs - 1
+
+    @pl.when(j == 0)
+    def _init():
+        t_acc[:] = jnp.ones_like(t_acc)
+        acc[:] = jnp.zeros_like(acc)
+
+    def trunk(pe_bf):
+        h = jnp.maximum(_mm(pe_bf, hw_in[:]) + hb_in[:], 0.0).astype(jnp.bfloat16)
+        for i in range(7):
+            h = jnp.maximum(_mm(h, hw_blocks[i]) + hb_blocks[i], 0.0)
+            if i == 3:
+                h = h + _mm(pe_bf, hw_skip[:]) + hb_skip[:]
+            h = h.astype(jnp.bfloat16)
+        return _mm(h, hw_sf[:]) + hb_sf[:]
+
+    alive = (jnp.max(t_acc[:]) > ert_eps) & (occ_ref[t, j] != 0) | is_last
+
+    @pl.when(alive)
+    def _slab_body():
+        o = o_ref[:]
+        d = d_ref[:]
+        freq = freq_ref[:]
+        ph = phase_ref[:]
+        encs = []
+        for s in range(S_SLAB):
+            z_s = z_ref[0, s, :][:, None]  # per-ray depth
+            encs.append(jnp.sin((o + d * z_s) * freq + ph))
+        pe = jnp.concatenate(encs, axis=0).astype(jnp.bfloat16)
+        sf = trunk(pe)
+        vr = jnp.broadcast_to(vr_ref[:][None], (S_SLAB, R_T, 256)).reshape(rows, 256)
+        net = jnp.maximum(sf[:, 128:384] + vr.astype(jnp.float32), 0.0)
+        rgb = jax.nn.sigmoid(_mm(net.astype(jnp.bfloat16), hw_out[:]) + hb_out[:])
+        sigma = jnp.maximum(sf[:, 0:1], 0.0)
+
+        bc = aux_ref[:].astype(jnp.float32)
+        tc = t_acc[:]
+        ac = acc[:]
+        for s in range(S_SLAB):
+            sel = slice(s * R_T, (s + 1) * R_T)
+            sh = sigma[sel]
+            ch = rgb[sel]
+            d_s = dists_ref[0, s, :][:, None]
+            lastf = (is_last & (s == S_SLAB - 1)).astype(jnp.float32)
+            # bg-concat on the union's final sample
+            ch = ch * (1.0 - lastf) + bc * lastf
+            sh = sh + 1e-6 * lastf
+            alpha = 1.0 - jnp.exp(-(sh + 1e-6) * d_s)
+            ac = ac + (alpha * tc) * ch
+            tc = tc * (1.0 - alpha + 1e-10)
+        t_acc[:] = tc
+        acc[:] = ac
+
+    @pl.when(is_last)
+    def _write():
+        out_ref[:] = acc[:]
+
+
+def fused_render_head(
+    packed_h: Dict[str, jnp.ndarray],
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    bc_rgb: jnp.ndarray,
+    last_dist: float = 1e10,
+    interpret: bool = False,
+    ert_eps: float = 0.0,
+    occupancy: "jnp.ndarray" = None,
+) -> jnp.ndarray:
+    """Head-field render with PER-RAY depths through the fused kernel.
+
+    z_vals: [n, S] per-ray sorted depths (the hierarchical union) or [S]
+    shared (broadcast). Returns rgb [n, 3]. Semantics = the head stack of
+    fused_render_rays (bg-concat at the final sample; +1e-6 bumps;
+    run_nerf_helpers sample handling) — the fine pass of BASELINE config 2.
+    """
+    n = rays_o.shape[0]
+    if z_vals.ndim == 1:
+        z_vals = jnp.broadcast_to(z_vals[None], (n, z_vals.shape[0]))
+    S = z_vals.shape[1]
+    assert S % S_SLAB == 0, f"n_samples={S} must be a multiple of {S_SLAB}"
+    n_slabs = S // S_SLAB
+    n_tiles = -(-n // R_T)
+    n_pad = n_tiles * R_T
+
+    def padded(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)], axis=0
+        )
+
+    rays_o, rays_d = padded(rays_o), padded(rays_d)
+    bc_rgb = padded(bc_rgb)
+    z_vals = padded(z_vals, fill=1.0)
+
+    coord_idx = jnp.arange(PE_PAD) % 3
+    slot_valid = (jnp.arange(PE_PAD) < 60).astype(jnp.float32)
+
+    def replicate(r):
+        return (r[:, coord_idx] * slot_valid).astype(jnp.float32)
+
+    o_r, d_r = replicate(rays_o), replicate(rays_d)
+    freqs = (jnp.pi * (2.0 ** (jnp.arange(PE_PAD) // 6)) / 2.0) * slot_valid
+    phase = jnp.where((jnp.arange(PE_PAD) % 6) >= 3, jnp.pi / 2.0, 0.0) * slot_valid
+
+    # per-ray z and dists, slab-blocked [n_slabs, S_SLAB, n_pad]
+    z_blocks = z_vals.astype(jnp.float32).reshape(n_pad, n_slabs, S_SLAB)
+    z_blocks = z_blocks.transpose(1, 2, 0)
+    diffs = jnp.concatenate(
+        [z_vals[:, 1:] - z_vals[:, :-1],
+         jnp.full((n_pad, 1), last_dist, z_vals.dtype)], axis=1
+    )
+    dists = (
+        diffs * jnp.linalg.norm(rays_d.astype(jnp.float32), axis=-1,
+                                keepdims=True)
+    ).reshape(n_pad, n_slabs, S_SLAB).transpose(1, 2, 0)
+
+    vr = view_bias(packed_h, rays_d).astype(jnp.bfloat16)
+    aux = jnp.zeros((n_pad, 128), jnp.float32).at[:, 0:3].set(bc_rgb)
+
+    def slab_spec():
+        return pl.BlockSpec(
+            (1, S_SLAB, R_T), lambda t, j, *_: (j, 0, t),
+            memory_space=pltpu.VMEM,
+        )
+
+    def tile_spec(lane):
+        return pl.BlockSpec(
+            (R_T, lane), lambda t, j, *_: (t, 0), memory_space=pltpu.VMEM
+        )
+
+    const_spec = pl.BlockSpec(
+        (1, PE_PAD), lambda t, j, *_: (0, 0), memory_space=pltpu.VMEM
+    )
+    hw = packed_h
+    weight_ops = [
+        hw["w_in"], hw["b_in"][None], hw["w_blocks"], hw["b_blocks"],
+        hw["w_skip"], hw["b_skip"][None], hw["w_sf"], hw["b_sf"][None],
+        hw["w_out"], hw["b_out"][None],
+    ]
+    weight_specs = [_full(op.shape) for op in weight_ops]
+    if occupancy is None:
+        occupancy = jnp.ones((n_tiles, n_slabs), jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, n_slabs),
+        in_specs=[
+            slab_spec(),        # dists
+            slab_spec(),        # z (per-ray)
+            tile_spec(PE_PAD),  # o
+            tile_spec(PE_PAD),  # d
+            tile_spec(256),     # vr
+            tile_spec(128),     # aux
+            const_spec,         # freq
+            const_spec,         # phase
+        ] + weight_specs,
+        out_specs=pl.BlockSpec(
+            (R_T, 128), lambda t, j, *_: (t, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R_T, 1), jnp.float32),    # transmittance
+            pltpu.VMEM((R_T, 128), jnp.float32),  # accumulator
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_head_kernel, n_slabs=n_slabs, ert_eps=ert_eps),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+        interpret=interpret,
+    )(occupancy.astype(jnp.int32), dists, z_blocks,
+      o_r, d_r, vr, aux, freqs[None].astype(jnp.float32),
+      phase[None].astype(jnp.float32), *weight_ops)
+    return out[:n, 0:3]

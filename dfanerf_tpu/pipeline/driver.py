@@ -343,15 +343,16 @@ class PipelineDriver:
         return np.concatenate(out).astype(np.float32)
 
     def step_parsing(self):
-        import torch
         import jax.numpy as jnp
 
         from dfanerf_tpu.models.perception.bisenet import (
-            apply_bisenet, bisenet_from_torch,
+            apply_bisenet, bisenet_from_torch, init_bisenet,
         )
 
         assert self.assets.bisenet_pth, "step 3 needs bisenet_pth"
-        params = bisenet_from_torch(torch.load(self.assets.bisenet_pth, map_location="cpu"))
+        params = _load_asset(
+            self.assets.bisenet_pth, bisenet_from_torch, init_bisenet
+        )
         mean = np.array([0.485, 0.456, 0.406], np.float32)
         std = np.array([0.229, 0.224, 0.225], np.float32)
         # class -> color: head parts red, neck green, body blue, bg white
@@ -455,14 +456,24 @@ class PipelineDriver:
         np.save(os.path.join(self.id_dir, "track_xys.npy"), track)
         return track
 
-    def step_track(self, n_iters: int = 2000):
+    def step_track(self, n_iters: int = 2000, out_name: str = "track_params_ba.pt"):
         import jax.numpy as jnp
 
-        from dfanerf_tpu.pipeline.face3dmm import load_face3dmm
+        from dfanerf_tpu.pipeline.face3dmm import (
+            load_face3dmm, make_synthetic_3dmm,
+        )
         from dfanerf_tpu.pipeline.tracking import fit_landmarks
 
         assert self.assets.face3dmm_dir, "step 7 needs face3dmm_dir"
-        model = load_face3dmm(self.assets.face3dmm_dir)
+        if self.assets.face3dmm_dir.startswith("random:"):
+            import jax
+
+            seed = int(self.assets.face3dmm_dir.split(":", 1)[1] or 0)
+            model = make_synthetic_3dmm(jax.random.PRNGKey(seed))
+            id_dim, exp_dim = 20, 12
+        else:
+            model = load_face3dmm(self.assets.face3dmm_dir)
+            id_dim, exp_dim = 100, 79
         ids = _valid_img_ids(self.id_dir)
         lms = np.stack(
             [
@@ -473,6 +484,7 @@ class PipelineDriver:
         params, loss = fit_landmarks(
             model, jnp.asarray(lms, jnp.float32),
             (self.dst_size / 2.0, self.dst_size / 2.0), n_iters=n_iters,
+            id_dim=id_dim, exp_dim=exp_dim,
         )
         _torch_save(
             {
@@ -482,7 +494,7 @@ class PipelineDriver:
                 "trans": np.asarray(params.trans),
                 "focal": np.asarray(params.focal),
             },
-            os.path.join(self.id_dir, "track_params_ba.pt"),
+            os.path.join(self.id_dir, out_name),
         )
         return loss
 
@@ -542,6 +554,69 @@ class PipelineDriver:
                 f.write(f"far = {far}\n")
                 f.write(f"{extra}\n" if extra else "testskip = 1\n")
         return near, far
+
+    def step_transforms_nonba(self):
+        """The non-BA (AD-NeRF-style) transforms step — process_data.py's
+        step 6 (:190-281): consumes ``track_params.pt`` directly (no flow /
+        bundle adjustment), trans scaled by /10 (the BA path divides by
+        /1000 at step 8 instead), writes ``transforms_{train,val}.json``
+        (no ``_ba`` suffix) and the non-BA config txts whose testskip is
+        ``len(val) // 7`` (process_data.py:246-263)."""
+        from dfanerf_tpu.data.dataset import _load_pt_or_npy
+        from dfanerf_tpu.pipeline.steps import build_transforms
+
+        base = os.path.join(self.id_dir, "track_params.pt")
+        euler = _load_pt_or_npy(base, "euler")
+        trans = _load_pt_or_npy(base, "trans") / 10.0
+        focal = _load_pt_or_npy(base, "focal")
+        ids = _valid_img_ids(self.id_dir)
+        lms = [
+            np.loadtxt(os.path.join(self.id_dir, "ori_imgs", f"{i:06d}.lms"))
+            for i in ids
+        ]
+        train, val, near, far = build_transforms(
+            euler, trans, float(focal.reshape(-1)[0]), lms, ids,
+            self.dst_size, self.dst_size,
+        )
+        for name, obj in (("train", train), ("val", val)):
+            with open(
+                os.path.join(self.id_dir, f"transforms_{name}.json"), "w"
+            ) as f:
+                json.dump(obj, f, indent=2, separators=(",", ": "))
+        testskip = max(len(val["frames"]) // 7, 1)
+        for cfg_name, exp_suffix, extra in (
+            ("HeadNeRF_config.txt", "_head", f"testskip = {testskip}"),
+            ("TorsoNeRF_config.txt", "_com", f"testskip = {testskip}"),
+            ("TorsoNeRFTest_config.txt", "_com", "with_test = 1"),
+        ):
+            with open(os.path.join(self.id_dir, cfg_name), "w") as f:
+                f.write(f"expname = {self.id}{exp_suffix}\n")
+                f.write(f"datadir = {os.path.abspath(self.id_dir)}\n")
+                f.write(f"basedir = {os.path.abspath(self.id_dir)}/logs\n")
+                f.write(f"near = {near}\n")
+                f.write(f"far = {far}\n")
+                f.write(f"{extra}\n")
+        return near, far
+
+    def run_nonba(self, src_video: str, steps=range(0, 7)):
+        """The 7-step AD-NeRF-style pipeline (data_util/process_data.py):
+        0 wav+DeepSpeech, 1 frames, 2 landmarks+pose, 3 parsing,
+        4 background, 5 compose, 6 track+transforms (no flow, no bundle
+        adjustment, no disentangle/wav2exp — the older dataset contract)."""
+        table = {
+            0: lambda: self.step_audio(src_video),
+            1: lambda: self.step_frames(src_video),
+            2: self.step_landmarks,
+            3: self.step_parsing,
+            4: self.step_background,
+            5: self.step_compose,
+            6: lambda: (
+                self.step_track(out_name="track_params.pt"),
+                self.step_transforms_nonba(),
+            ),
+        }
+        for s in steps:
+            table[s]()
 
     def step_disentangle(self):
         import torch

@@ -118,6 +118,81 @@ def compute_nme(preds: np.ndarray, targets: np.ndarray,
     return out
 
 
+def multistep_lr(base_lr: float, epoch, milestones=(90, 110),
+                 factor: float = 0.1):
+    """MultiStepLR (tools/train.py:177-179; defaults LR_STEP=[90,110],
+    LR_FACTOR=0.1, lib/config/default.py:122-125): lr * factor^(#milestones
+    passed). Works on traced or python epochs."""
+    drops = sum(jnp.asarray(epoch >= m, jnp.float32) for m in milestones)
+    return base_lr * factor ** drops
+
+
+def validate_landmarks(
+    apply_fn: Callable,
+    params,
+    images: jnp.ndarray,
+    gt_joints: np.ndarray,
+    sigma: float = 1.5,
+    modulate: bool = True,
+    failure_threshold: float = 0.1,
+):
+    """The validate_face evaluation harness (lib/core/function.py
+    validate_face + evaluate.py): run the net, decode heatmaps (gaussian
+    modulation + argmax + quarter refine), compute per-sample NME in
+    heatmap coordinates, and the failure rate at the standard 0.1
+    threshold. Returns dict(nme_mean, nme, failure_rate, preds)."""
+    from dfanerf_tpu.pipeline.heatmaps import decode_heatmaps
+
+    heatmaps = apply_fn(params, images)
+    coords, _ = decode_heatmaps(heatmaps, sigma=sigma, modulate=modulate)
+    preds = np.asarray(coords)
+    nme = compute_nme(preds, np.asarray(gt_joints))
+    return {
+        "nme_mean": float(nme.mean()),
+        "nme": nme,
+        "failure_rate": float((nme > failure_threshold).mean()),
+        "preds": preds,
+    }
+
+
+def lr_range_test(
+    apply_fn: Callable,
+    params,
+    opt,
+    batches,
+    lr_min: float = 1e-6,
+    lr_max: float = 1.0,
+    sigma: float = 1.5,
+):
+    """The find_best_lr sweep (tools/find_best_lr.py): exponentially ramp
+    the LR across the given (images, joints) batches and record loss(lr);
+    the knee of the curve picks the training LR. Returns (lrs, losses)."""
+    n = len(batches)
+    gamma = (lr_max / lr_min) ** (1.0 / max(n - 1, 1))
+
+    @jax.jit
+    def step(params, opt, images, joints, lr):
+        def objective(p):
+            pred = apply_fn(p, images)
+            hw = (pred.shape[1], pred.shape[2])
+            target, weight = gaussian_targets(joints, hw, sigma)
+            return joints_mse_loss(pred, target, weight)
+
+        l, grads = jax.value_and_grad(objective)(params)
+        params, opt = adam_update(opt, grads, params, lr, jnp.int32(1))
+        return params, opt, l
+
+    lrs, losses = [], []
+    lr = lr_min
+    for images, joints in batches:
+        params, opt, l = step(params, opt, jnp.asarray(images),
+                              jnp.asarray(joints), lr)
+        lrs.append(lr)
+        losses.append(float(l))
+        lr *= gamma
+    return np.asarray(lrs), np.asarray(losses)
+
+
 def make_heatmap_train_step(
     apply_fn: Callable,
     loss: str = "mse",

@@ -79,12 +79,16 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
             if rcfg.occ_sigma_thresh > 0:
                 occ = conservative_occupancy(
                     pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals,
-                    rcfg.occ_sigma_thresh,
+                    rcfg.occ_sigma_thresh, grid_res=rcfg.occ_grid_res,
                 )
             rgb_head_p, rgb_com_p = fused_render_rays(
                 pw_h, pw_t, ro, rd, ro_t, rd_t,
                 z_vals, bc_p, last_dist=rcfg.last_dist, ert_eps=rcfg.ert_eps,
                 occupancy=occ,
+                # with occupancy flags, handling the bg catch-all sample in
+                # the per-ray epilogue removes the forced final slab — the
+                # dominant fixed cost once the flags are sparse
+                bg_epilogue=rcfg.occ_sigma_thresh > 0,
             )
             if perm is not None:
                 rgb_head = jnp.zeros((H * W, 3)).at[perm].set(rgb_head_p)
@@ -156,6 +160,53 @@ def make_head_hierarchical_renderer(
     n_pix = H * W
     n_tiles = -(-n_pix // tile)
     n_pad = n_tiles * tile - n_pix
+
+    if rcfg.use_fused_kernel:
+        from dfanerf_tpu.core.compositing import volume_render
+        from dfanerf_tpu.core.sampling import hierarchical_z_vals
+        from dfanerf_tpu.ops.fused_render import (
+            fused_render_head,
+            packed_sigma_xla,
+        )
+        from dfanerf_tpu.ops.pack import pack_field_weights
+
+        assert rcfg.concate_bg
+        assert (rcfg.n_samples + rcfg.n_importance) % 8 == 0
+
+        @jax.jit
+        def render_fused(params, z_shape, z_app, pose, signal, bc_img):
+            rays_o, rays_d = get_rays(H, W, focal, pose, cx, cy)
+            ro = rays_o.reshape(-1, 3)
+            rd = rays_d.reshape(-1, 3)
+            bc = bc_img.reshape(-1, 3).astype(jnp.float32) / 255.0
+            pw = pack_field_weights(
+                params["decoder"], dcfg, signal, z_shape[0], z_app[0], "head"
+            )
+            # coarse pass: density only — compositing weights are all the
+            # fine resample needs (render_rays' 'fine' branch keeps only
+            # the fine rgb, run_nerf_com_trainExpLater.py:122-124)
+            z_c = jnp.linspace(near, far, rcfg.n_samples)
+            pts = ro[:, None, :] + rd[:, None, :] * z_c[None, :, None]
+            sigma_c = jax.nn.relu(
+                packed_sigma_xla(pw, pts.reshape(-1, 3), "head")
+            ).reshape(n_pix, rcfg.n_samples)
+            sigma_c = sigma_c.at[:, -1].add(1e-6)  # bg-concat density bump
+            z_b = jnp.broadcast_to(z_c, (n_pix, rcfg.n_samples))
+            _, weights = volume_render(
+                z_b, rd, sigma_c[None],
+                jnp.zeros((1, n_pix, rcfg.n_samples, 3)),
+                last_dist=rcfg.last_dist,
+            )
+            z_fine = hierarchical_z_vals(
+                z_b, weights, rcfg.n_importance, det=True
+            )
+            rgb = fused_render_head(
+                pw, ro, rd, z_fine, bc, last_dist=rcfg.last_dist,
+                ert_eps=rcfg.ert_eps,
+            )
+            return rgb.reshape(H, W, 3)
+
+        return render_fused
 
     @jax.jit
     def render(params, z_shape, z_app, pose, signal, bc_img):

@@ -1,0 +1,90 @@
+"""Full preprocessing-DAG integration test: steps 2 -> 9 run IN SEQUENCE
+over a tiny synthetic video and the resulting on-disk dataset loads back
+through load_audface_dataset (the VERDICT round-1 gap: driver steps were
+individually tested but never chained over their disk handoffs).
+
+Detection uses the reference's REAL shipped BlazeFace weights; the other
+nets run in random:<seed> asset mode — the chain's contracts (file formats,
+id spaces, shapes, dense-frame invariants) are what's under test, not
+output quality.
+"""
+
+import os
+from glob import glob
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_ROOT, reference_available
+
+BF_PTH = os.path.join(
+    REFERENCE_ROOT, "data_util", "face-alignment", "third_party",
+    "BlazeFace-PyTorch", "blazeface.pth",
+)
+FACE_PNG = os.path.join(os.path.dirname(BF_PTH), "1face.png")
+
+needs_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not present"
+)
+
+
+@needs_reference
+def test_full_chain_steps_2_to_9(tmp_path):
+    import cv2
+
+    from dfanerf_tpu.data import load_audface_dataset
+    from dfanerf_tpu.pipeline.driver import (
+        PipelineAssets, PipelineDriver, _torch_save,
+    )
+
+    size = 128
+    n = 5
+    img = cv2.resize(cv2.imread(FACE_PNG), (size, size))
+    id_dir = tmp_path / "chain"
+    (id_dir / "ori_imgs").mkdir(parents=True)
+    for i in range(n):
+        m = np.float32([[1, 0, 2 * i], [0, 1, -i]])
+        cv2.imwrite(str(id_dir / "ori_imgs" / f"{i:06d}.jpg"),
+                    cv2.warpAffine(img, m, (size, size)))
+
+    assets = PipelineAssets(
+        blazeface_pth=BF_PTH,
+        hrnet_pth="random:0",
+        eye_pth="random:1",
+        bisenet_pth="random:2",
+        raft_pth="random:3",
+        face3dmm_dir="random:4",
+    )
+    d = PipelineDriver(str(id_dir), assets, dst_size=size)
+
+    d.step_landmarks(score_thresh=0.0)                      # step 2
+    assert len(glob(str(id_dir / "ori_imgs" / "*.lms"))) == n
+    d.step_parsing()                                        # step 3
+    assert len(glob(str(id_dir / "parsing" / "*.png"))) == n
+    d.step_background(every=1)                              # step 4
+    assert os.path.exists(str(id_dir / "bc.jpg"))
+    d.step_compose()                                        # step 5
+    assert len(glob(str(id_dir / "com_imgs" / "*.jpg"))) == n
+    d.step_flow(ref_id=0)                                   # step 6
+    assert os.path.exists(str(id_dir / "track_xys.npy"))
+    d.step_track(n_iters=3)                                 # step 7
+    d.step_bundle_adjust()                                  # step 8
+    near, far = d.step_transforms()                         # step 9
+    assert np.isfinite([near, far]).all() and far > near
+
+    # trainer-facing contract: the produced directory loads end to end
+    rng = np.random.RandomState(0)
+    _torch_save(
+        {"exp_o": rng.randn(n, 64).astype(np.float32),
+         "exp_m": rng.randn(n, 32).astype(np.float32)},
+        str(id_dir / "chain_64_32.pt"),
+    )
+    _torch_save(rng.randn(n, 512).astype(np.float32),
+                str(id_dir / "chain_aud.pt"))
+    ds = load_audface_dataset(
+        str(id_dir), "chain_aud.pt", "chain_64_32.pt", use_ba=True
+    )
+    assert ds.n_frames == n
+    assert ds.imgs_com.shape == (n, size, size, 3)
+    assert np.isfinite(ds.poses).all()
+    assert len(ds.i_train) + len(ds.i_val) == n

@@ -61,6 +61,60 @@ class TestLosses:
         assert nme[0] == pytest.approx(np.sqrt(2) / 10.0)
 
 
+class TestToolHarness:
+    def test_multistep_lr(self):
+        from dfanerf_tpu.pipeline.landmark_training import multistep_lr
+
+        assert multistep_lr(1e-3, 0) == pytest.approx(1e-3)
+        assert multistep_lr(1e-3, 90) == pytest.approx(1e-4)
+        assert multistep_lr(1e-3, 110) == pytest.approx(1e-5)
+
+    def test_validate_landmarks_perfect_net(self):
+        """A 'net' that emits ideal Gaussian heatmaps at the gt joints must
+        score ~0 NME and 0 failure rate."""
+        import jax.numpy as jnp
+
+        from dfanerf_tpu.pipeline.landmark_training import (
+            gaussian_targets, validate_landmarks,
+        )
+
+        rng = np.random.RandomState(0)
+        joints = rng.uniform(6, 26, (3, 68, 2)).astype(np.float32)
+
+        def apply_fn(params, images):
+            t, _ = gaussian_targets(jnp.asarray(joints), (32, 32), 1.5)
+            return t
+
+        out = validate_landmarks(apply_fn, None, None, joints)
+        assert out["nme_mean"] < 0.02
+        assert out["failure_rate"] == 0.0
+
+    def test_lr_range_test_runs(self):
+        import jax
+        import jax.numpy as jnp
+
+        from dfanerf_tpu.models.perception.ghostnet_eye import (
+            apply_eye_net, init_eye_net,
+        )
+        from dfanerf_tpu.pipeline.landmark_training import lr_range_test
+        from dfanerf_tpu.train.optim import adam_init
+
+        params = init_eye_net(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(1)
+        batches = [
+            (rng.rand(2, 32, 48, 1).astype(np.float32),
+             rng.uniform(2, 14, (2, 6, 2)).astype(np.float32))
+            for _ in range(4)
+        ]
+        lrs, losses = lr_range_test(
+            apply_eye_net, params, adam_init(params), batches,
+            lr_min=1e-5, lr_max=1e-2,
+        )
+        assert len(lrs) == len(losses) == 4
+        assert lrs[0] == pytest.approx(1e-5) and lrs[-1] == pytest.approx(1e-2)
+        assert np.isfinite(losses).all()
+
+
 class TestTrainStep:
     def test_eye_net_learns_heatmaps(self):
         from dfanerf_tpu.models.perception.ghostnet_eye import (

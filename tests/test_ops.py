@@ -181,6 +181,41 @@ class TestConservativeOccupancy:
         np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
         np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
 
+    @pytest.mark.parametrize("sigma_bias", [1.0, -10.0])
+    def test_bg_epilogue_matches_kernel_mode(self, setup, sigma_bias):
+        """The per-ray background epilogue reproduces the in-kernel
+        bg-concat sample (same expressions, different fusion).
+
+        The catch-all mix (sh*bc + 1e-6*ct)/(sh + 1e-6) is razor-sensitive
+        for far-plane sigma in [0, 1e-5] — a regime random-init weights
+        land in by chance but trained fields sit solidly outside of (the
+        serving bake drives empty-space sigma hard to 0). Both robust
+        regimes are tested: clearly-positive sigma (mix -> bc) and
+        clearly-zero sigma (mix -> torso color)."""
+        d = setup
+        params = dict(d["params"])
+        params["sigma_out"] = {
+            "w": d["params"]["sigma_out"]["w"],
+            "b": jnp.full((1,), sigma_bias),
+        }
+        pw_h = pack_field_weights(
+            params, CFG, d["sig_h"], d["z_s"], d["z_a"], "head",
+            param_dtype=jnp.float32,
+        )
+        pw_t = pack_field_weights(
+            params, CFG, d["sig_t"], d["z_s"], d["z_a"], "torso",
+            param_dtype=jnp.float32,
+        )
+        args = (pw_h, pw_t, d["rays_o"], d["rays_d"], d["rays_o_t"],
+                d["rays_d_t"], d["z_vals1"], d["bc"])
+        h0, c0 = fused_render_rays(*args, interpret=True)
+        h1, c1 = fused_render_rays(*args, interpret=True, bg_epilogue=True)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), atol=2e-5)
+        # composite in the sigma=0 regime carries the torso's far-plane
+        # color, re-derived through a different PE formulation (in-kernel
+        # fused sin vs XLA sincos) -> ~4e-4 trunk-amplified rounding
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=1e-3)
+
     def test_skipped_render_error_is_bounded(self, setup):
         """With real camera tiles and computed flags, the occupancy-skipped
         render matches the no-skip render to within the density-threshold
@@ -197,6 +232,73 @@ class TestConservativeOccupancy:
         assert float(jnp.abs(h1 - h0).max()) < 0.03
         assert float(jnp.abs(c1 - c0).max()) < 0.03
         assert occ.shape == (2, ro.shape[0] // 256, 2)
+
+
+class TestFusedHierarchical:
+    def test_fused_fine_pass_matches_xla_hierarchical(self, setup):
+        """BASELINE config 2 through the kernel: coarse sigma -> inverse-CDF
+        union -> fused head kernel with PER-RAY depths, vs the pure-XLA
+        render_head_hierarchical."""
+        from dfanerf_tpu.core.compositing import volume_render
+        from dfanerf_tpu.core.sampling import hierarchical_z_vals
+        from dfanerf_tpu.ops.fused_render import (
+            fused_render_head, packed_sigma_xla,
+        )
+        from dfanerf_tpu.render.fields import render_head_hierarchical
+
+        d = setup
+        n, S, n_imp = d["n"], d["S"], 16
+        rcfg = RenderConfig(n_samples=S, n_importance=n_imp, concate_bg=True)
+        z_b = jnp.broadcast_to(d["z_vals1"], (n, S))
+        ref = render_head_hierarchical(
+            d["params"], CFG, rcfg, d["rays_o"], d["rays_d"], z_b,
+            d["sig_h"], d["z_s"], d["z_a"], d["bc"],
+        )
+
+        pw = pack_field_weights(
+            d["params"], CFG, d["sig_h"], d["z_s"], d["z_a"], "head",
+            param_dtype=jnp.float32,
+        )
+        pts = d["rays_o"][:, None, :] + d["rays_d"][:, None, :] * z_b[..., None]
+        sigma_c = jax.nn.relu(
+            packed_sigma_xla(pw, pts.reshape(-1, 3), "head", dtype=jnp.float32)
+        ).reshape(n, S)
+        sigma_c = sigma_c.at[:, -1].add(1e-6)
+        _, weights = volume_render(
+            z_b, d["rays_d"], sigma_c[None], jnp.zeros((1, n, S, 3))
+        )
+        z_fine = hierarchical_z_vals(z_b, weights, n_imp, det=True)
+        got = fused_render_head(
+            pw, d["rays_o"], d["rays_d"], z_fine, d["bc"], interpret=True,
+        )
+        assert float(jnp.abs(got - ref).max()) < 2e-2
+        assert float(jnp.abs(got - ref).mean()) < 2e-3
+
+    def test_shared_z_broadcast(self, setup):
+        """[S] z_vals broadcast to per-ray — head output must equal the
+        two-field kernel's head stack on the same rays."""
+        d = setup
+        pw_h = pack_field_weights(
+            d["params"], CFG, d["sig_h"], d["z_s"], d["z_a"], "head",
+            param_dtype=jnp.float32,
+        )
+        pw_t = pack_field_weights(
+            d["params"], CFG, d["sig_t"], d["z_s"], d["z_a"], "torso",
+            param_dtype=jnp.float32,
+        )
+        head2, _ = fused_render_rays(
+            pw_h, pw_t, d["rays_o"], d["rays_d"], d["rays_o_t"],
+            d["rays_d_t"], d["z_vals1"], d["bc"], interpret=True,
+        )
+        from dfanerf_tpu.ops.fused_render import fused_render_head
+
+        head1 = fused_render_head(
+            pw_h, d["rays_o"], d["rays_d"], d["z_vals1"], d["bc"],
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(head1), np.asarray(head2), atol=1e-5
+        )
 
 
 class TestEarlyRayTermination:

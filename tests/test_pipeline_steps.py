@@ -219,6 +219,49 @@ class TestDiskContractRoundtrip:
         )
         assert near2 == pytest.approx(near) and far2 == pytest.approx(far)
 
+    def test_nonba_transforms_step(self, tmp_path):
+        """The 7-step AD-NeRF-style variant (process_data.py:190-281):
+        transforms without the _ba suffix, trans scaled /10 from
+        track_params.pt, testskip = len(val)//7 in the config txts."""
+        import json as _json
+
+        import imageio.v2 as imageio
+
+        from dfanerf_tpu.pipeline.driver import PipelineDriver, _torch_save
+
+        id_dir = str(tmp_path / "nonba")
+        d = PipelineDriver(id_dir, dst_size=64)
+        rng = np.random.RandomState(7)
+        n = 33
+        for i in range(n):
+            imageio.imwrite(
+                os.path.join(id_dir, "ori_imgs", f"{i:06d}.jpg"),
+                rng.randint(0, 255, (64, 64, 3), np.uint8),
+            )
+            np.savetxt(
+                os.path.join(id_dir, "ori_imgs", f"{i:06d}.lms"),
+                rng.uniform(10, 54, (68, 2)), "%f",
+            )
+        euler = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+        trans = np.tile([[0, 0, -6.0]], (n, 1)).astype(np.float32)  # /10 -> -0.6
+        _torch_save(
+            {"euler": euler, "trans": trans, "focal": np.array([900.0])},
+            os.path.join(id_dir, "track_params.pt"),
+        )
+        near, far = d.step_transforms_nonba()
+        # trans/10: mean_z = 0.6 -> near/far = 0.4/1.0
+        assert near == pytest.approx(0.4, abs=1e-5)
+        assert far == pytest.approx(1.0, abs=1e-5)
+        with open(os.path.join(id_dir, "transforms_train.json")) as f:
+            train = _json.load(f)
+        with open(os.path.join(id_dir, "transforms_val.json")) as f:
+            val = _json.load(f)
+        assert len(train["frames"]) == int(n * 10 / 11)
+        assert len(val["frames"]) == n - int(n * 10 / 11)
+        cfg_txt = open(os.path.join(id_dir, "HeadNeRF_config.txt")).read()
+        assert f"testskip = {max(len(val['frames']) // 7, 1)}" in cfg_txt
+        assert not os.path.exists(os.path.join(id_dir, "transforms_train_ba.json"))
+
     def test_torch_free_pt_npz_fallback(self, tmp_path):
         """With torch absent, driver steps write <name>.pt.npz; every later
         consumer that asks for <name>.pt must transparently fall back

@@ -1,0 +1,266 @@
+"""Model-zoo alternative backbones: weight-for-weight parity vs the
+reference torch implementations (random-init torch model -> converter ->
+JAX forward on the same input)."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_ROOT, reference_available
+
+needs_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not present"
+)
+
+MODELS_DIR = os.path.join(
+    REFERENCE_ROOT, "data_util", "face-alignment", "lib", "models"
+)
+
+
+def _import_ref_module(name):
+    """Import a reference lib/models file with heavyweight deps stubbed."""
+    import importlib.util
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+    spec = importlib.util.spec_from_file_location(
+        f"ref_{name}", os.path.join(MODELS_DIR, f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@needs_reference
+@pytest.mark.parametrize("small", [False, True])
+def test_u2net_parity(small):
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.u2net import apply_u2net, u2net_from_torch
+
+    ref = _import_ref_module("face_u2net")
+    out_ch = 5
+    torch.manual_seed(0)
+    net = (ref.U2NETP_S5 if small else ref.U2NET)(in_ch=3, out_ch=out_ch)
+    net.eval()
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        ref_outs = net(x)
+
+    params = u2net_from_torch(net.state_dict(), out_ch=out_ch, small=small)
+    x_j = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    outs = apply_u2net(params, x_j, small=small)
+    assert len(outs) == len(ref_outs)
+    for got, want in zip(outs, ref_outs):
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want.numpy(),
+            atol=5e-4, rtol=1e-3,
+        )
+
+
+class _Cfg(dict):
+    """Minimal yacs stand-in: attribute access + `in` support."""
+
+    __getattr__ = dict.__getitem__
+
+
+@needs_reference
+@pytest.mark.parametrize("addition", [(None, False), (2, True)])
+def test_face_ghostnet_parity(addition):
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.ghostnet_face import (
+        apply_face_ghostnet, face_ghostnet_from_torch,
+    )
+
+    ref = _import_ref_module("face_ghostnet")
+    add_enc, add_dec = addition
+    extra = _Cfg(
+        INTERMEDIATE_CHANNELS=32, USE_REGRESS_BRANCH=False,
+        USE_HEATMAP_BRANCH=True,
+    )
+    if add_enc:
+        extra["ADDITION_ENCODER_LAYER"] = add_enc
+    if add_dec:
+        extra["ADDITION_DECODER_LAYER"] = True
+    cfg = _Cfg(MODEL=_Cfg(EXTRA=extra, NUM_FACE_JOINTS=68, NUM_EYE_JOINTS=6))
+    torch.manual_seed(0)
+    net = ref.get_face_net(cfg, is_train=False)
+    net.eval()
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        want = net(x)["heatmap"].numpy()
+    params = face_ghostnet_from_torch(
+        net.state_dict(), addition_encoder=add_enc, addition_decoder=add_dec
+    )
+    got = apply_face_ghostnet(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        addition_encoder=add_enc, addition_decoder=add_dec,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=5e-4, rtol=1e-3
+    )
+
+
+@needs_reference
+def test_pose_hrnet_parity():
+    """PoseHighResolutionNet: nearest fuse upsampling + branch-0 conv head
+    (vs the face variant's bilinear fuse + concat head)."""
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.hrnet import (
+        apply_hrnet, hrnet_from_torch, pose_hrnet_config,
+    )
+
+    ref = _import_ref_module("pose_hrnet")
+    extra = _Cfg(
+        STAGE2=_Cfg(NUM_MODULES=1, NUM_BRANCHES=2, NUM_BLOCKS=[4, 4],
+                    NUM_CHANNELS=[18, 36], BLOCK="BASIC", FUSE_METHOD="SUM"),
+        STAGE3=_Cfg(NUM_MODULES=4, NUM_BRANCHES=3, NUM_BLOCKS=[4, 4, 4],
+                    NUM_CHANNELS=[18, 36, 72], BLOCK="BASIC", FUSE_METHOD="SUM"),
+        STAGE4=_Cfg(NUM_MODULES=3, NUM_BRANCHES=4, NUM_BLOCKS=[4, 4, 4, 4],
+                    NUM_CHANNELS=[18, 36, 72, 144], BLOCK="BASIC",
+                    FUSE_METHOD="SUM"),
+        FINAL_CONV_KERNEL=1,
+        PRETRAINED_LAYERS=["*"],
+    )
+    cfg_t = _Cfg(MODEL=_Cfg(EXTRA=extra, NUM_JOINTS=17))
+    torch.manual_seed(0)
+    net = ref.get_pose_net(cfg_t, is_train=False)
+    net.eval()
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    cfg = pose_hrnet_config(num_joints=17)
+    params = hrnet_from_torch(net.state_dict(), cfg)
+    got = apply_hrnet(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), cfg)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=5e-4, rtol=1e-3
+    )
+
+
+@needs_reference
+def test_shufflenet_v2_parity():
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.shufflenet import (
+        apply_shufflenet_v2, shufflenet_v2_from_torch,
+    )
+
+    # the reference file does a package-relative import of a url helper it
+    # never needs at inference; stub it
+    utils_stub = types.ModuleType("ref_shuffle_utils")
+    utils_stub.load_state_dict_from_url = lambda *a, **k: None
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_shufflenetv2", os.path.join(MODELS_DIR, "shufflenetv2.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    src = open(os.path.join(MODELS_DIR, "shufflenetv2.py")).read()
+    src = src.replace("from .utils import load_state_dict_from_url",
+                      "load_state_dict_from_url = None")
+    exec(compile(src, "shufflenetv2.py", "exec"), mod.__dict__)
+
+    torch.manual_seed(0)
+    net = mod.shufflenet_v2_x0_5(num_classes=11)
+    net.eval()
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    params = shufflenet_v2_from_torch(net.state_dict(), preset="x0.5")
+    got = apply_shufflenet_v2(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), preset="x0.5"
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
+
+
+@needs_reference
+def test_face_mobilenet_ghosthead_parity():
+    """MobileNetV2 features[:14] + GhostBottleneck decoder head
+    (face_mobilenet_ghostHead.py)."""
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.mobilenet import (
+        apply_face_mobilenet_ghosthead,
+        face_mobilenet_ghosthead_from_torch,
+    )
+
+    # the module imports eye_ghostnet + mobile_head relatively; load via a
+    # synthetic package
+    import importlib.util
+
+    pkg = types.ModuleType("refzoo")
+    pkg.__path__ = [MODELS_DIR]
+    sys.modules["refzoo"] = pkg
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+    ref = __import__("refzoo.face_mobilenet_ghostHead", fromlist=["x"])
+
+    spec = ((1, 200, 96, 3, 1, 2), (1, 120, 64, 3, 1, 2))
+    extra = _Cfg(
+        USE_REGRESS_BRANCH=False, USE_HEATMAP_BRANCH=True, USE_AUX_HEAD=False,
+        NUM_LAYERS=[n for n, *_ in spec],
+        EXP_SIZE=[e for _, e, *_ in spec],
+        NUM_FILTERS=[f for _, _, f, *_ in spec],
+        NUM_KERNELS=[k for *_, k, _, _ in spec],
+        USE_SE=[se for *_, se, _ in spec],
+        STRIDES=[s for *_, s in spec],
+        FINAL_CONV_KERNEL=1,
+        USE_PRETRAIN=False,
+    )
+    cfg_t = _Cfg(
+        MODEL=_Cfg(EXTRA=extra, NUM_FACE_JOINTS=68, IMAGE_SIZE=[64, 64]),
+        FACE_DATASET=_Cfg(NEGATIVE_EXAMPLE=False),
+    )
+    torch.manual_seed(0)
+    net = ref.get_face_net(cfg_t, is_train=False)
+    net.eval()
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        want = net(x)["heatmap"].numpy()
+    params = face_mobilenet_ghosthead_from_torch(net.state_dict(), spec=spec)
+    got = apply_face_mobilenet_ghosthead(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), spec=spec
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=5e-4, rtol=1e-3
+    )
+
+
+@needs_reference
+def test_u2net_odd_size_ceil_pools():
+    """ceil_mode pooling path: odd spatial sizes round UP at every level."""
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.u2net import apply_u2net, u2net_from_torch
+
+    ref = _import_ref_module("face_u2net")
+    torch.manual_seed(1)
+    net = ref.U2NETP_S5(in_ch=3, out_ch=2)
+    net.eval()
+    x = torch.randn(1, 3, 50, 38)
+    with torch.no_grad():
+        ref_outs = net(x)
+    params = u2net_from_torch(net.state_dict(), out_ch=2, small=True)
+    outs = apply_u2net(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                       small=True)
+    np.testing.assert_allclose(
+        np.asarray(outs[0]).transpose(0, 3, 1, 2), ref_outs[0].numpy(),
+        atol=5e-4, rtol=1e-3,
+    )
