@@ -113,7 +113,7 @@ def main():
         import serve_trained
 
         trained = serve_trained.run(
-            n_train=3000, occ_thresh=0.3, bake_steps=800, bake_lambda=5e-4
+            n_train=4000, occ_thresh=0.3, bake_steps=800, bake_lambda=5e-4
         )
 
     headline = trained["value"] if trained else fps

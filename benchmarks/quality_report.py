@@ -175,12 +175,15 @@ def oracle_overlay(n_steps=200, R=128, S=8, lr=5e-4):
         return new_p, new_o, loss
 
     t_losses, j_losses = [], []
-    for step in range(n_steps):
-        d = batch(step)
-        t_losses.append(torch_step(d))
-        dj = {k: jnp.asarray(v) for k, v in d.items()}
-        params, opt, l = our_step(params, opt, dj)
-        j_losses.append(float(l))
+    # the oracle is an fp32 comparison: pin matmul precision (TPU f32 dots
+    # otherwise default to bf16 passes and the curves drift ~10x faster)
+    with jax.default_matmul_precision("highest"):
+        for step in range(n_steps):
+            d = batch(step)
+            t_losses.append(torch_step(d))
+            dj = {k: jnp.asarray(v) for k, v in d.items()}
+            params, opt, l = our_step(params, opt, dj)
+            j_losses.append(float(l))
 
     final_torch = decoder_from_torch(tdec.state_dict())
     max_diff = max(jax.tree.leaves(jax.tree.map(

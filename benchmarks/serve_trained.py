@@ -127,7 +127,8 @@ def run(n_train=4000, occ_thresh=0.3, bake_steps=1500, bake_lambda=2e-3):
 
     cfg1 = ExperimentConfig(
         render=RenderConfig(**base, ert_eps=1e-4, spatial_tiles=True,
-                            occ_sigma_thresh=occ_thresh, occ_grid_res=48),
+                            occ_sigma_thresh=occ_thresh, occ_grid_res=48,
+                            occ_refresh_every=4),
         train=cfg0.train,
     )
     _log(f"noskip {fps_noskip:.2f} fps; bench skip...")
@@ -150,6 +151,8 @@ def run(n_train=4000, occ_thresh=0.3, bake_steps=1500, bake_lambda=2e-3):
             "bake_steps": bake_steps,
             "bake_lambda": bake_lambda,
             "occ_sigma_thresh": occ_thresh,
+            "occ_grid_res": 48,
+            "occ_refresh_every": 4,
             "train_seconds": round(train_s, 1),
             "bake_seconds": round(bake_s, 1),
         },

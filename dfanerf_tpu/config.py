@@ -46,6 +46,19 @@ class RenderConfig:
     occ_grid_res: int = 64  # density-grid resolution for the occupancy SAT
     # (two [G^3] sigma-only forwards per frame; 48 halves prep time, 96
     # tightens the flags)
+    occ_refresh_every: int = 1  # recompute the occupancy grid every N
+    # frames (1 = every frame). The baked field varies only slightly with
+    # the audio signal frame to frame, so serving can reuse flags for a few
+    # frames; benchmarks report the max pixel error vs a no-skip render
+    # under the same cadence.
+    occ_tile_compaction: bool = False  # shrink the kernel grid to just the
+    # occupied tiles (bucketed static K from a one-scalar host sync);
+    # background-only tiles run the per-ray bg epilogue alone. Removes the
+    # per-grid-step fixed cost. EXPERIMENTAL — the composed program
+    # currently trips a TPU runtime kernel fault on this toolchain (the
+    # kernel alone passes at every grid size, incl. fully-skipped tiles;
+    # the fault appears only with the surrounding gather/epilogue/scatter
+    # program). Keep off until the toolchain issue is resolved.
     spatial_tiles: bool = False  # map 16x16 pixel blocks to kernel ray tiles
     # (pays only when ERT/occupancy can skip solid blocks; costs ~6% ray
     # padding otherwise, so off unless serving a converged sparse model)

@@ -39,6 +39,8 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
 
     if rcfg.use_fused_kernel:
         from dfanerf_tpu.ops.fused_render import (
+            R_T,
+            _bg_epilogue,
             conservative_occupancy,
             fused_render_rays,
             spatial_tile_permutation,
@@ -50,13 +52,12 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
         # slab skipping (ERT / occupancy) sees solid regions, not scanlines
         use_tiles = rcfg.spatial_tiles or rcfg.occ_sigma_thresh > 0
         perm = spatial_tile_permutation(H, W) if use_tiles else None
+        z_vals_c = jnp.linspace(near, far, rcfg.n_samples)
 
-        @jax.jit
-        def render_frame_fused(params, z_shape, z_app, pose, pose_torso,
-                               signal, signal_torso, bc_img):
+        def frame_inputs(params, z_shape, z_app, pose, pose_torso,
+                         signal, signal_torso, bc_img):
             rays_o, rays_d = get_rays(H, W, focal, pose, cx, cy)
             rays_o_t, rays_d_t = get_rays(H, W, focal, pose_torso, cx, cy)
-            z_vals = jnp.linspace(near, far, rcfg.n_samples)
             bc = bc_img.reshape(-1, 3).astype(jnp.float32) / 255.0
 
             def maybe_perm(x):
@@ -67,7 +68,6 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
             ro_t = maybe_perm(rays_o_t.reshape(-1, 3))
             rd_t = maybe_perm(rays_d_t.reshape(-1, 3))
             bc_p = maybe_perm(bc)
-
             pw_h = pack_field_weights(
                 params["decoder"], dcfg, signal, z_shape[0], z_app[0], "head"
             )
@@ -75,21 +75,9 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
                 params["decoder"], dcfg, signal_torso, z_shape[1], z_app[1],
                 "torso",
             )
-            occ = None
-            if rcfg.occ_sigma_thresh > 0:
-                occ = conservative_occupancy(
-                    pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals,
-                    rcfg.occ_sigma_thresh, grid_res=rcfg.occ_grid_res,
-                )
-            rgb_head_p, rgb_com_p = fused_render_rays(
-                pw_h, pw_t, ro, rd, ro_t, rd_t,
-                z_vals, bc_p, last_dist=rcfg.last_dist, ert_eps=rcfg.ert_eps,
-                occupancy=occ,
-                # with occupancy flags, handling the bg catch-all sample in
-                # the per-ray epilogue removes the forced final slab — the
-                # dominant fixed cost once the flags are sparse
-                bg_epilogue=rcfg.occ_sigma_thresh > 0,
-            )
+            return pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p
+
+        def unpermute(rgb_head_p, rgb_com_p):
             if perm is not None:
                 rgb_head = jnp.zeros((H * W, 3)).at[perm].set(rgb_head_p)
                 rgb_com = jnp.zeros((H * W, 3)).at[perm].set(rgb_com_p)
@@ -97,7 +85,152 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
                 rgb_head, rgb_com = rgb_head_p, rgb_com_p
             return rgb_head.reshape(H, W, 3), rgb_com.reshape(H, W, 3)
 
-        return render_frame_fused
+        if rcfg.occ_sigma_thresh <= 0:
+            @jax.jit
+            def render_frame_fused(params, z_shape, z_app, pose, pose_torso,
+                                   signal, signal_torso, bc_img):
+                pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = frame_inputs(
+                    params, z_shape, z_app, pose, pose_torso, signal,
+                    signal_torso, bc_img,
+                )
+                rgb_head_p, rgb_com_p = fused_render_rays(
+                    pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c, bc_p,
+                    last_dist=rcfg.last_dist, ert_eps=rcfg.ert_eps,
+                )
+                return unpermute(rgb_head_p, rgb_com_p)
+
+            return render_frame_fused
+
+        if not rcfg.occ_tile_compaction:
+            # occupancy serving path (flags refreshed every
+            # occ_refresh_every frames; the bg catch-all runs as a per-ray
+            # epilogue so the final slab is not forced)
+            @jax.jit
+            def occ_inputs_fn(params, z_shape, z_app, pose, pose_torso,
+                              signal, signal_torso, bc_img):
+                return frame_inputs(params, z_shape, z_app, pose, pose_torso,
+                                    signal, signal_torso, bc_img)
+
+            @jax.jit
+            def occ_flags_fn(inputs):
+                pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
+                return conservative_occupancy(
+                    pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c,
+                    rcfg.occ_sigma_thresh, grid_res=rcfg.occ_grid_res,
+                )
+
+            @jax.jit
+            def occ_render_fn(inputs, occ):
+                pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
+                rgb_head_p, rgb_com_p = fused_render_rays(
+                    pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c, bc_p,
+                    last_dist=rcfg.last_dist, ert_eps=rcfg.ert_eps,
+                    occupancy=occ, bg_epilogue=True,
+                )
+                return unpermute(rgb_head_p, rgb_com_p)
+
+            cache = {"occ": None, "age": 0}
+
+            def render_frame_occ_plain(params, z_shape, z_app, pose,
+                                       pose_torso, signal, signal_torso,
+                                       bc_img):
+                inputs = occ_inputs_fn(params, z_shape, z_app, pose,
+                                       pose_torso, signal, signal_torso,
+                                       bc_img)
+                if (cache["occ"] is None
+                        or cache["age"] >= max(rcfg.occ_refresh_every, 1)):
+                    cache["occ"] = occ_flags_fn(inputs)
+                    cache["age"] = 0
+                cache["age"] += 1
+                return occ_render_fn(inputs, cache["occ"])
+
+            return render_frame_occ_plain
+
+        # --- occupancy serving path: flags -> tile compaction -> kernel ---
+        # The kernel pays a fixed per-grid-step cost even for fully skipped
+        # slabs; compacting the grid to just the occupied tiles (bg-only
+        # tiles need nothing but the per-ray bg epilogue) removes it. The
+        # occupied-tile count is data-dependent, so the caller picks a
+        # static bucket K per frame from a one-scalar host sync.
+        T = len(perm) // R_T
+
+        @jax.jit
+        def flags_fn(params, z_shape, z_app, pose, pose_torso,
+                     signal, signal_torso, bc_img):
+            inputs = frame_inputs(params, z_shape, z_app, pose, pose_torso,
+                                  signal, signal_torso, bc_img)
+            pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
+            occ = conservative_occupancy(
+                pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c,
+                rcfg.occ_sigma_thresh, grid_res=rcfg.occ_grid_res,
+            )
+            return inputs, occ.max(axis=0)  # occ_joint [T, J]
+
+        def make_render_k(K):
+            @jax.jit
+            def render_k(inputs, order, occ_sel):
+                # order [T] (occupied tiles first) and occ_sel [K, J] arrive
+                # as CONCRETE arrays (host-computed from the flags) — the
+                # kernel's scalar-prefetch operand must not be a traced
+                # data-dependent gather
+                pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
+                sel, rest = order[:K], order[K:]
+
+                def tiles(x, idx):
+                    return x.reshape(T, R_T, -1)[idx].reshape(-1, x.shape[-1])
+
+                h_c, c_c = fused_render_rays(
+                    pw_h, pw_t, tiles(ro, sel), tiles(rd, sel),
+                    tiles(ro_t, sel), tiles(rd_t, sel), z_vals_c,
+                    tiles(bc_p, sel), last_dist=rcfg.last_dist,
+                    ert_eps=rcfg.ert_eps, occupancy=occ_sel,
+                    bg_epilogue=True,
+                )
+                # background-only tiles: nothing reaches the kernel — their
+                # whole render IS the bg catch-all sample (t=1, acc=0)
+                n_rest = (T - K) * R_T
+                h_r, c_r = _bg_epilogue(
+                    pw_h, pw_t, tiles(ro, rest), tiles(rd, rest),
+                    tiles(ro_t, rest), tiles(rd_t, rest), z_vals_c,
+                    tiles(bc_p, rest), rcfg.last_dist,
+                    jnp.zeros((n_rest, 3)), jnp.zeros((n_rest, 3)),
+                    jnp.ones((n_rest, 1)), jnp.ones((n_rest, 1)),
+                )
+                head = jnp.zeros((T, R_T, 3)).at[order].set(
+                    jnp.concatenate([h_c.reshape(K, R_T, 3),
+                                     h_r.reshape(T - K, R_T, 3)])
+                ).reshape(-1, 3)
+                com = jnp.zeros((T, R_T, 3)).at[order].set(
+                    jnp.concatenate([c_c.reshape(K, R_T, 3),
+                                     c_r.reshape(T - K, R_T, 3)])
+                ).reshape(-1, 3)
+                return unpermute(head, com)
+
+            return render_k
+
+        buckets = [k for k in (64, 128, 256, 512) if k < T] + [T]
+        render_cache = {}
+
+        def render_frame_occ(params, z_shape, z_app, pose, pose_torso,
+                             signal, signal_torso, bc_img):
+            inputs, occ_joint = flags_fn(
+                params, z_shape, z_app, pose, pose_torso, signal,
+                signal_torso, bc_img,
+            )
+            # host sync (~27 KB): pick the bucket and fix the tile order so
+            # the kernel's scalar-prefetch flags are concrete arrays
+            occ_np = np.asarray(occ_joint)
+            tile_on = occ_np.max(axis=1)
+            count = int((tile_on > 0).sum())
+            K = next(k for k in buckets if k >= count)
+            order = np.argsort(-tile_on, kind="stable").astype(np.int32)
+            if K not in render_cache:
+                render_cache[K] = make_render_k(K)
+            return render_cache[K](
+                inputs, jnp.asarray(order), jnp.asarray(occ_np[order[:K]])
+            )
+
+        return render_frame_occ
 
     @jax.jit
     def render_frame(
@@ -184,12 +317,30 @@ def make_head_hierarchical_renderer(
             )
             # coarse pass: density only — compositing weights are all the
             # fine resample needs (render_rays' 'fine' branch keeps only
-            # the fine rgb, run_nerf_com_trainExpLater.py:122-124)
+            # the fine rgb, run_nerf_com_trainExpLater.py:122-124).
+            # Swept in fixed ray tiles with lax.map: the trunk's [N, 384]
+            # intermediate at full 450p coarse resolution would be ~20 GB.
             z_c = jnp.linspace(near, far, rcfg.n_samples)
-            pts = ro[:, None, :] + rd[:, None, :] * z_c[None, :, None]
-            sigma_c = jax.nn.relu(
-                packed_sigma_xla(pw, pts.reshape(-1, 3), "head")
-            ).reshape(n_pix, rcfg.n_samples)
+            ctile = 4096
+            n_ct = -(-n_pix // ctile)
+            ro_t_ = jnp.concatenate(
+                [ro, jnp.zeros((n_ct * ctile - n_pix, 3))]
+            ).reshape(n_ct, ctile, 3)
+            rd_t_ = jnp.concatenate(
+                [rd, jnp.ones((n_ct * ctile - n_pix, 3))]
+            ).reshape(n_ct, ctile, 3)
+
+            def sigma_tile(args):
+                o, d = args
+                pts = o[:, None, :] + d[:, None, :] * z_c[None, :, None]
+                return packed_sigma_xla(pw, pts.reshape(-1, 3), "head").reshape(
+                    ctile, rcfg.n_samples
+                )
+
+            sigma_c = jax.lax.map(sigma_tile, (ro_t_, rd_t_)).reshape(
+                n_ct * ctile, rcfg.n_samples
+            )[:n_pix]
+            sigma_c = jax.nn.relu(sigma_c)
             sigma_c = sigma_c.at[:, -1].add(1e-6)  # bg-concat density bump
             z_b = jnp.broadcast_to(z_c, (n_pix, rcfg.n_samples))
             _, weights = volume_render(

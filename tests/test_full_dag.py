@@ -57,7 +57,7 @@ def test_full_chain_steps_2_to_9(tmp_path):
     )
     d = PipelineDriver(str(id_dir), assets, dst_size=size)
 
-    d.step_landmarks(score_thresh=0.0)                      # step 2
+    d.step_landmarks(score_thresh=-1e9)                      # step 2
     assert len(glob(str(id_dir / "ori_imgs" / "*.lms"))) == n
     d.step_parsing()                                        # step 3
     assert len(glob(str(id_dir / "parsing" / "*.png"))) == n

@@ -66,7 +66,7 @@ def test_step_landmarks_dense_contract(tmp_path):
     # smooth_lms=False so the zero placeholder is observable (the reference's
     # jaw smoothing pass runs over placeholders too and contaminates them —
     # process_data_ba.py:186-196 — which a separate check below covers)
-    poses = driver.step_landmarks(score_thresh=0.0, smooth_lms=False)
+    poses = driver.step_landmarks(score_thresh=-1e9, smooth_lms=False)
 
     # dense-frame contract: every frame id has a .lms, incl. the blank one
     lms_files = sorted(glob(str(id_dir / "ori_imgs" / "*.lms")))
@@ -109,8 +109,8 @@ def test_step_landmarks_dense_contract(tmp_path):
 @needs_reference
 def test_step_landmarks_low_score_skips_lms(tmp_path):
     """Low-score frames get NO .lms file but are listed in the QA file
-    (demo...save.py:777-793) — with a random-init HRNet every detection
-    scores low, so a high threshold skips every detected frame."""
+    (demo...save.py:777-793) — an unreachable threshold makes every
+    detected frame low-score regardless of the random net's magnitude."""
     import cv2
 
     from dfanerf_tpu.pipeline.driver import PipelineAssets, PipelineDriver
@@ -126,7 +126,7 @@ def test_step_landmarks_low_score_skips_lms(tmp_path):
         PipelineAssets(blazeface_pth=BF_PTH, hrnet_pth="random:0"),
         dst_size=128,
     )
-    driver.step_landmarks(score_thresh=2.0, smooth_lms=False)
+    driver.step_landmarks(score_thresh=1e9, smooth_lms=False)
     assert glob(str(id_dir / "ori_imgs" / "*.lms")) == []
     qa = np.loadtxt(str(id_dir / "low_score_frames.txt"))
     assert qa.reshape(-1, 2).shape[0] == 2
