@@ -103,6 +103,17 @@ def main():
 
     fps = n_frames_bench / dt
 
+    # insurance line: if the trained-serving phase is cut short by a run
+    # budget, the artifact still carries the no-skip measurement (the
+    # driver keeps the LAST printed JSON line)
+    print(json.dumps({
+        "metric": "450x450 audio-driven head+torso render "
+                  "(64 samples/ray, 2 fields, random init, no skipping)",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 4),
+    }), flush=True)
+
     # the honest serving number: trained + baked model with the skip levers
     # (ERT + conservative occupancy + bg epilogue); random-init weights make
     # every skip mechanism a no-op, so the fps above is the no-skip floor
@@ -113,7 +124,7 @@ def main():
         import serve_trained
 
         trained = serve_trained.run(
-            n_train=4000, occ_thresh=0.3, bake_steps=800, bake_lambda=5e-4
+            n_train=4000, occ_thresh=0.5, bake_steps=800, bake_lambda=5e-4
         )
 
     headline = trained["value"] if trained else fps

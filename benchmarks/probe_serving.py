@@ -144,14 +144,18 @@ def main(thresh=0.3):
     occ_density(cfg0, ds, state, data, thresh, 64)
     occ_density(cfg0, ds, state, data, thresh, 48)
     for name, rc in (
-        ("ert_occ_g64", RenderConfig(**base, ert_eps=1e-4, spatial_tiles=True,
-                                     occ_sigma_thresh=thresh)),
-        ("ert_occ_g48", RenderConfig(**base, ert_eps=1e-4, spatial_tiles=True,
-                                     occ_sigma_thresh=thresh, occ_grid_res=48)),
-        ("ert3_occ_g48", RenderConfig(**base, ert_eps=1e-3, spatial_tiles=True,
-                                      occ_sigma_thresh=thresh, occ_grid_res=48)),
-        ("occ_only_g48", RenderConfig(**base, ert_eps=0.0, spatial_tiles=True,
-                                      occ_sigma_thresh=thresh, occ_grid_res=48)),
+        ("g48_r4", RenderConfig(**base, ert_eps=1e-4, spatial_tiles=True,
+                                occ_sigma_thresh=thresh, occ_grid_res=48,
+                                occ_refresh_every=4)),
+        ("g48_r8", RenderConfig(**base, ert_eps=1e-4, spatial_tiles=True,
+                                occ_sigma_thresh=thresh, occ_grid_res=48,
+                                occ_refresh_every=8)),
+        ("g48_r4_t05", RenderConfig(**base, ert_eps=1e-4, spatial_tiles=True,
+                                    occ_sigma_thresh=0.5, occ_grid_res=48,
+                                    occ_refresh_every=4)),
+        ("g32_r4", RenderConfig(**base, ert_eps=1e-4, spatial_tiles=True,
+                                occ_sigma_thresh=thresh, occ_grid_res=32,
+                                occ_refresh_every=4)),
     ):
         cfg = ExperimentConfig(render=rc, train=cfg0.train)
         bench_variant(name, cfg, ds, state, data, ref=ref)

@@ -92,7 +92,7 @@ def _log(msg):
     print(f"[serve_trained] {msg}", file=sys.stderr, flush=True)
 
 
-def run(n_train=4000, occ_thresh=0.3, bake_steps=1500, bake_lambda=2e-3):
+def run(n_train=4000, occ_thresh=0.5, bake_steps=800, bake_lambda=5e-4):
     """Train + bake + serve; returns the result dict (main() prints it)."""
     base = dict(n_samples=64, use_fused_kernel=True, compute_dtype="bfloat16")
     cfg0 = ExperimentConfig(
@@ -166,7 +166,7 @@ def main(*args, **kwargs):
 if __name__ == "__main__":
     main(
         int(sys.argv[1]) if len(sys.argv) > 1 else 4000,
-        float(sys.argv[2]) if len(sys.argv) > 2 else 0.3,
-        int(sys.argv[3]) if len(sys.argv) > 3 else 1500,
-        float(sys.argv[4]) if len(sys.argv) > 4 else 2e-3,
+        float(sys.argv[2]) if len(sys.argv) > 2 else 0.5,
+        int(sys.argv[3]) if len(sys.argv) > 3 else 800,
+        float(sys.argv[4]) if len(sys.argv) > 4 else 5e-4,
     )
