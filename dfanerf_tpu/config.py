@@ -39,10 +39,13 @@ class RenderConfig:
     # this (residual contribution bound; 0 disables). ~3x serving speedup
     # on converged models; exact no-op while densities are near zero.
     occ_sigma_thresh: float = 0.0  # fused-kernel empty-space skipping:
-    # per-FIELD conservative flags (frustum-AABB vs dilated density-grid SAT,
-    # ops/fused_render.py:conservative_occupancy) skip a field's slab when
-    # its density stays under this threshold across the whole frustum chunk.
-    # 0 = off. Alphas in skipped slabs are bounded by thresh * slab_span.
+    # conservative flags (frustum-AABB vs dilated density-grid SAT,
+    # ops/fused_render.py:conservative_occupancy) skip a slab when NEITHER
+    # field's density reaches this threshold anywhere in its frustum chunk
+    # (computed per field, consumed jointly — the kernel keeps one heavy
+    # region). 0 = off. Alphas in skipped slabs are bounded by
+    # thresh * slab_span. Serving sweet spot on the baked model: 0.5
+    # (32.9 fps, max pixel err 0.0028 vs no-skip).
     occ_grid_res: int = 64  # density-grid resolution for the occupancy SAT
     # (two [G^3] sigma-only forwards per frame; 48 halves prep time, 96
     # tightens the flags)
@@ -55,10 +58,12 @@ class RenderConfig:
     # occupied tiles (bucketed static K from a one-scalar host sync);
     # background-only tiles run the per-ray bg epilogue alone. Removes the
     # per-grid-step fixed cost. EXPERIMENTAL — the composed program
-    # currently trips a TPU runtime kernel fault on this toolchain (the
-    # kernel alone passes at every grid size, incl. fully-skipped tiles;
-    # the fault appears only with the surrounding gather/epilogue/scatter
-    # program). Keep off until the toolchain issue is resolved.
+    # currently trips a TPU runtime kernel fault on this toolchain.
+    # Narrowed by standalone repros: kernel alone OK at every grid size
+    # (incl. fully-skipped tiles); kernel + two XLA epilogues in one jit
+    # OK; adding the tile gathers/scatter around the kernel faults, and an
+    # optimization_barrier between gather and kernel does NOT fix it.
+    # Keep off until the toolchain issue is resolved.
     spatial_tiles: bool = False  # map 16x16 pixel blocks to kernel ray tiles
     # (pays only when ERT/occupancy can skip solid blocks; costs ~6% ray
     # padding otherwise, so off unless serving a converged sparse model)
