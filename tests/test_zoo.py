@@ -20,15 +20,23 @@ MODELS_DIR = os.path.join(
 )
 
 
+def _ensure_torchvision_stub():
+    """The reference zoo files import torchvision (absent here); other
+    test modules may have installed their own partial stub — make sure
+    whatever is in sys.modules carries a .models submodule."""
+    tv = sys.modules.get("torchvision")
+    if tv is None or not hasattr(tv, "models"):
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tv.models
+
+
 def _import_ref_module(name):
     """Import a reference lib/models file with heavyweight deps stubbed."""
     import importlib.util
 
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.models = types.ModuleType("torchvision.models")
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.models"] = tv.models
+    _ensure_torchvision_stub()
     spec = importlib.util.spec_from_file_location(
         f"ref_{name}", os.path.join(MODELS_DIR, f"{name}.py")
     )
@@ -204,11 +212,7 @@ def test_face_mobilenet_ghosthead_parity():
     pkg = types.ModuleType("refzoo")
     pkg.__path__ = [MODELS_DIR]
     sys.modules["refzoo"] = pkg
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.models = types.ModuleType("torchvision.models")
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.models"] = tv.models
+    _ensure_torchvision_stub()
     ref = __import__("refzoo.face_mobilenet_ghostHead", fromlist=["x"])
 
     spec = ((1, 200, 96, 3, 1, 2), (1, 120, 64, 3, 1, 2))
