@@ -134,13 +134,15 @@ def run(n_train=4000, occ_thresh=0.5, bake_steps=800, bake_lambda=5e-4):
     cfg1 = ExperimentConfig(
         render=RenderConfig(**base, ert_eps=1e-4, spatial_tiles=True,
                             occ_sigma_thresh=occ_thresh, occ_grid_res=48,
-                            occ_refresh_every=4),
+                            occ_refresh_every=4, occ_tile_compaction=True),
         train=cfg0.train,
     )
     _log(f"noskip {fps_noskip:.2f} fps; bench skip...")
     frame1 = make_frame_fn(cfg1, ds, state, data)
     fps_skip = bench_fps(frame1)
     max_err = float(jnp.abs(frame1(19) - ref_img).max())
+    occ_frac, head_psnr_vs_bg = scene_diagnostics(cfg0, ds, state, data,
+                                                  occ_thresh)
 
     return {
         "metric": "450p trained+baked serving fps (fused kernel, ERT+occupancy)",
@@ -161,8 +163,62 @@ def run(n_train=4000, occ_thresh=0.5, bake_steps=800, bake_lambda=5e-4):
             "occ_refresh_every": 4,
             "train_seconds": round(train_s, 1),
             "bake_seconds": round(bake_s, 1),
+            # scene-regime transparency (see docs/SERVING.md "What the
+            # trained scene converges to"): the fraction of (tile, slab)
+            # occupancy flags set, and how far the HEAD-only render is
+            # from the plain background (0 dB apart = the composite is
+            # carried entirely by the per-ray catch-all sample)
+            "occ_flag_density": occ_frac,
+            "head_render_vs_bg_psnr": head_psnr_vs_bg,
         },
     }
+
+
+def scene_diagnostics(cfg, ds, state, data, occ_thresh):
+    """Occupancy-flag density at the serving threshold + how much content
+    the head field itself carries (PSNR between the head-only render and
+    the static background; 99 dB cap means byte-identical)."""
+    from dfanerf_tpu.core.rays import get_rays
+    from dfanerf_tpu.ops.fused_render import (
+        conservative_occupancy, spatial_tile_permutation,
+    )
+    from dfanerf_tpu.ops.pack import pack_field_weights
+
+    Hh, Ww, focal, cx, cy = ds.hwfcxy
+    sig_fn = jax.jit(
+        lambda p, i: encode_frame_signals(
+            p, data["auds"], data["exps"], data["poses"], i,
+            data["auds"].shape[0], cfg, True,
+        )
+    )
+    sig, sig_t = sig_fn(state["params"], jnp.int32(0))
+    ro, rd = get_rays(int(Hh), int(Ww), focal, data["poses"][0], cx, cy)
+    perm = spatial_tile_permutation(int(Hh), int(Ww))
+    ro = ro.reshape(-1, 3)[perm]
+    rd = rd.reshape(-1, 3)[perm]
+    z = jnp.linspace(ds.near, ds.far, cfg.render.n_samples)
+    pw_h = pack_field_weights(
+        state["params"]["decoder"], cfg.decoder, sig, state["z_shape"][0],
+        state["z_app"][0], "head",
+    )
+    pw_t = pack_field_weights(
+        state["params"]["decoder"], cfg.decoder, sig_t, state["z_shape"][1],
+        state["z_app"][1], "torso",
+    )
+    occ = np.asarray(conservative_occupancy(
+        pw_h, pw_t, ro, rd, ro, rd, z, occ_thresh,
+        grid_res=cfg.render.occ_grid_res,
+    )).max(0)
+
+    render = make_frame_renderer(cfg, ds.hwfcxy, ds.near, ds.far)
+    head = np.asarray(render(
+        state["params"], state["z_shape"], state["z_app"], data["poses"][0],
+        data["poses"][0], sig, sig_t, data["bc_img"],
+    )[0])
+    bc = np.asarray(ds.bc_img).astype(np.float32) / 255.0
+    mse = float(np.mean((np.clip(head, 0.0, 1.0) - bc) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-10))
+    return round(float(occ.mean()), 4), round(min(psnr, 99.0), 2)
 
 
 def main(*args, **kwargs):

@@ -57,13 +57,13 @@ class RenderConfig:
     occ_tile_compaction: bool = False  # shrink the kernel grid to just the
     # occupied tiles (bucketed static K from a one-scalar host sync);
     # background-only tiles run the per-ray bg epilogue alone. Removes the
-    # per-grid-step fixed cost. EXPERIMENTAL — the composed program
-    # currently trips a TPU runtime kernel fault on this toolchain.
-    # Narrowed by standalone repros: kernel alone OK at every grid size
-    # (incl. fully-skipped tiles); kernel + two XLA epilogues in one jit
-    # OK; adding the tile gathers/scatter around the kernel faults, and an
-    # optimization_barrier between gather and kernel does NOT fix it.
-    # Keep off until the toolchain issue is resolved.
+    # per-grid-step fixed cost. Composing the tile gathers, the Pallas
+    # kernel, and the epilogue+scatter into ONE jit program trips a TPU
+    # runtime kernel fault on this toolchain (kernel alone OK at every
+    # grid size; optimization_barrier does not help), so the renderer runs
+    # them as THREE jit programs — intermediates stay on device and the
+    # split costs only a few extra dispatches. Off by default; serving
+    # configs enable it.
     spatial_tiles: bool = False  # map 16x16 pixel blocks to kernel ray tiles
     # (pays only when ERT/occupancy can skip solid blocks; costs ~6% ray
     # padding otherwise, so off unless serving a converged sparse model)

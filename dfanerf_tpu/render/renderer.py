@@ -152,47 +152,62 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
         # tiles need nothing but the per-ray bg epilogue) removes it. The
         # occupied-tile count is data-dependent, so the caller picks a
         # static bucket K per frame from a one-scalar host sync.
+        #
+        # The tile gather, the Pallas kernel, and the bg-epilogue + scatter
+        # each run as a SEPARATE jit program: composing them into one XLA
+        # program trips a TPU runtime kernel fault on this toolchain even
+        # though the kernel program alone is clean at every grid size.
+        # Intermediates stay on device across the jit boundaries, so the
+        # split costs only a few extra dispatches per frame.
         T = len(perm) // R_T
 
         @jax.jit
-        def flags_fn(params, z_shape, z_app, pose, pose_torso,
-                     signal, signal_torso, bc_img):
-            inputs = frame_inputs(params, z_shape, z_app, pose, pose_torso,
-                                  signal, signal_torso, bc_img)
+        def inputs_fn(params, z_shape, z_app, pose, pose_torso,
+                      signal, signal_torso, bc_img):
+            return frame_inputs(params, z_shape, z_app, pose, pose_torso,
+                                signal, signal_torso, bc_img)
+
+        @jax.jit
+        def occ_joint_fn(inputs):
             pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
-            occ = conservative_occupancy(
+            return conservative_occupancy(
                 pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c,
                 rcfg.occ_sigma_thresh, grid_res=rcfg.occ_grid_res,
-            )
-            return inputs, occ.max(axis=0)  # occ_joint [T, J]
+            ).max(axis=0)  # joint [T, J]
 
-        def make_render_k(K):
+        def make_parts(K):
             @jax.jit
-            def render_k(inputs, order, occ_sel):
-                # order [T] (occupied tiles first) and occ_sel [K, J] arrive
-                # as CONCRETE arrays (host-computed from the flags) — the
-                # kernel's scalar-prefetch operand must not be a traced
-                # data-dependent gather
+            def gather_k(inputs, order):
+                # order [T] (occupied tiles first) arrives CONCRETE from
+                # the host sync; the gather runs in its own XLA program
                 pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
                 sel, rest = order[:K], order[K:]
 
                 def tiles(x, idx):
                     return x.reshape(T, R_T, -1)[idx].reshape(-1, x.shape[-1])
 
-                h_c, c_c = fused_render_rays(
-                    pw_h, pw_t, tiles(ro, sel), tiles(rd, sel),
-                    tiles(ro_t, sel), tiles(rd_t, sel), z_vals_c,
-                    tiles(bc_p, sel), last_dist=rcfg.last_dist,
-                    ert_eps=rcfg.ert_eps, occupancy=occ_sel,
-                    bg_epilogue=True,
+                return ([tiles(x, sel) for x in (ro, rd, ro_t, rd_t, bc_p)],
+                        [tiles(x, rest) for x in (ro, rd, ro_t, rd_t, bc_p)])
+
+            @jax.jit
+            def kernel_k(pw_h, pw_t, ro, rd, ro_t, rd_t, bc, occ_sel):
+                # the Pallas program, alone in its jit (the known-good
+                # standalone shape)
+                return fused_render_rays(
+                    pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c, bc,
+                    last_dist=rcfg.last_dist, ert_eps=rcfg.ert_eps,
+                    occupancy=occ_sel, bg_epilogue=True,
                 )
+
+            @jax.jit
+            def scatter_k(pw_h, pw_t, rest, h_c, c_c, order):
                 # background-only tiles: nothing reaches the kernel — their
                 # whole render IS the bg catch-all sample (t=1, acc=0)
+                ro, rd, ro_t, rd_t, bc = rest
                 n_rest = (T - K) * R_T
                 h_r, c_r = _bg_epilogue(
-                    pw_h, pw_t, tiles(ro, rest), tiles(rd, rest),
-                    tiles(ro_t, rest), tiles(rd_t, rest), z_vals_c,
-                    tiles(bc_p, rest), rcfg.last_dist,
+                    pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c, bc,
+                    rcfg.last_dist,
                     jnp.zeros((n_rest, 3)), jnp.zeros((n_rest, 3)),
                     jnp.ones((n_rest, 1)), jnp.ones((n_rest, 1)),
                 )
@@ -206,29 +221,40 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
                 ).reshape(-1, 3)
                 return unpermute(head, com)
 
-            return render_k
+            return gather_k, kernel_k, scatter_k
 
         buckets = [k for k in (64, 128, 256, 512) if k < T] + [T]
-        render_cache = {}
+        parts_cache = {}
+        cache = {"order": None, "K": None, "occ_sel": None, "age": 0}
 
         def render_frame_occ(params, z_shape, z_app, pose, pose_torso,
                              signal, signal_torso, bc_img):
-            inputs, occ_joint = flags_fn(
-                params, z_shape, z_app, pose, pose_torso, signal,
-                signal_torso, bc_img,
-            )
-            # host sync (~27 KB): pick the bucket and fix the tile order so
-            # the kernel's scalar-prefetch flags are concrete arrays
-            occ_np = np.asarray(occ_joint)
-            tile_on = occ_np.max(axis=1)
-            count = int((tile_on > 0).sum())
-            K = next(k for k in buckets if k >= count)
-            order = np.argsort(-tile_on, kind="stable").astype(np.int32)
-            if K not in render_cache:
-                render_cache[K] = make_render_k(K)
-            return render_cache[K](
-                inputs, jnp.asarray(order), jnp.asarray(occ_np[order[:K]])
-            )
+            inputs = inputs_fn(params, z_shape, z_app, pose, pose_torso,
+                               signal, signal_torso, bc_img)
+            if (cache["order"] is None
+                    or cache["age"] >= max(rcfg.occ_refresh_every, 1)):
+                # host sync (~27 KB): pick the bucket and fix the tile
+                # order so the kernel's scalar-prefetch flags are concrete
+                occ_np = np.asarray(occ_joint_fn(inputs))
+                tile_on = occ_np.max(axis=1)
+                count = int((tile_on > 0).sum())
+                K = next(k for k in buckets if k >= count)
+                import os as _os
+                if _os.environ.get("DFANERF_DEBUG_COMPACTION"):
+                    print(f"[compaction] T={T} occupied={count} K={K} "
+                          f"slab_density={occ_np.mean():.4f}", flush=True)
+                order = np.argsort(-tile_on, kind="stable").astype(np.int32)
+                cache.update(order=jnp.asarray(order), K=K,
+                             occ_sel=jnp.asarray(occ_np[order[:K]]), age=0)
+            cache["age"] += 1
+            K = cache["K"]
+            if K not in parts_cache:
+                parts_cache[K] = make_parts(K)
+            gather_k, kernel_k, scatter_k = parts_cache[K]
+            pw_h, pw_t = inputs[0], inputs[1]
+            sel, rest = gather_k(inputs, cache["order"])
+            h_c, c_c = kernel_k(pw_h, pw_t, *sel, cache["occ_sel"])
+            return scatter_k(pw_h, pw_t, rest, h_c, c_c, cache["order"])
 
         return render_frame_occ
 

@@ -197,7 +197,9 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
         loss_head = jnp.mean((rgb_head - target_head) ** 2)
         loss_com = jnp.mean((rgb_com - target_com) ** 2)
         if tcfg.use_l1 and tcfg.train_together:
-            loss = jnp.mean(jnp.abs(rgb_head - target_com))
+            # use_L1 replaces the loss with L1 on the COMPOSITE render
+            # (run_nerf_com_trainExpLater.py:909-913)
+            loss = jnp.mean(jnp.abs(rgb_com - target_com))
         else:
             loss = loss_head + loss_com
         if sparsity_lambda > 0.0:
