@@ -64,6 +64,8 @@ def make_frame_fn(cfg, ds, state, data):
             sig, sig_t, data["bc_img"],
         )[1]
 
+    frame.render = render
+    frame.sig_fn = sig_fn
     return frame
 
 
@@ -142,7 +144,7 @@ def run(n_train=4000, occ_thresh=0.5, bake_steps=800, bake_lambda=5e-4):
     fps_skip = bench_fps(frame1)
     max_err = float(jnp.abs(frame1(19) - ref_img).max())
     occ_frac, head_psnr_vs_bg = scene_diagnostics(cfg0, ds, state, data,
-                                                  occ_thresh)
+                                                  occ_thresh, frame0)
 
     return {
         "metric": "450p trained+baked serving fps (fused kernel, ERT+occupancy)",
@@ -174,10 +176,11 @@ def run(n_train=4000, occ_thresh=0.5, bake_steps=800, bake_lambda=5e-4):
     }
 
 
-def scene_diagnostics(cfg, ds, state, data, occ_thresh):
+def scene_diagnostics(cfg, ds, state, data, occ_thresh, frame0):
     """Occupancy-flag density at the serving threshold + how much content
     the head field itself carries (PSNR between the head-only render and
-    the static background; 99 dB cap means byte-identical)."""
+    the static background; 99 dB cap means byte-identical). Reuses
+    frame0's compiled renderer/signal functions."""
     from dfanerf_tpu.core.rays import get_rays
     from dfanerf_tpu.ops.fused_render import (
         conservative_occupancy, spatial_tile_permutation,
@@ -185,13 +188,7 @@ def scene_diagnostics(cfg, ds, state, data, occ_thresh):
     from dfanerf_tpu.ops.pack import pack_field_weights
 
     Hh, Ww, focal, cx, cy = ds.hwfcxy
-    sig_fn = jax.jit(
-        lambda p, i: encode_frame_signals(
-            p, data["auds"], data["exps"], data["poses"], i,
-            data["auds"].shape[0], cfg, True,
-        )
-    )
-    sig, sig_t = sig_fn(state["params"], jnp.int32(0))
+    sig, sig_t = frame0.sig_fn(state["params"], jnp.int32(0))
     ro, rd = get_rays(int(Hh), int(Ww), focal, data["poses"][0], cx, cy)
     perm = spatial_tile_permutation(int(Hh), int(Ww))
     ro = ro.reshape(-1, 3)[perm]
@@ -210,8 +207,7 @@ def scene_diagnostics(cfg, ds, state, data, occ_thresh):
         grid_res=cfg.render.occ_grid_res,
     )).max(0)
 
-    render = make_frame_renderer(cfg, ds.hwfcxy, ds.near, ds.far)
-    head = np.asarray(render(
+    head = np.asarray(frame0.render(
         state["params"], state["z_shape"], state["z_app"], data["poses"][0],
         data["poses"][0], sig, sig_t, data["bc_img"],
     )[0])
