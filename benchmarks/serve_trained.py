@@ -69,31 +69,47 @@ def make_frame_fn(cfg, ds, state, data):
     return frame
 
 
-def bench_fps(frame, n=20, passes=2):
-    # two timed passes, best kept: the per-frame Python dispatch makes the
-    # wall clock sensitive to transient host contention, which can only
-    # slow a pass — the max is the steady-state throughput
+def bench_fps(frame, n=20, passes=3):
+    """Timed passes; returns (median, max) fps over the passes.
+
+    The per-frame Python dispatch makes the wall clock sensitive to
+    transient host contention, which can only slow a pass — max is the
+    steady-state throughput, median the typical one. The artifact reports
+    BOTH; the headline uses the median."""
     frame(0).block_until_ready()
-    best = 0.0
+    rates = []
     for _ in range(passes):
         t0 = time.time()
         for i in range(n):
             out = frame(i)
         out.block_until_ready()
-        best = max(best, n / (time.time() - t0))
-    return best
+        rates.append(n / (time.time() - t0))
+    return float(np.median(rates)), float(max(rates))
 
 
 def val_psnr(cfg, ds, state, data):
     """Full-frame PSNR on the held-out frames (the reference's quality
-    metric, run_nerf_com_trainExpLater.py:1070-1077)."""
+    metric, run_nerf_com_trainExpLater.py:1070-1077). Returns
+    (psnr_composite vs com_imgs, psnr_head-only vs head_imgs) — the second
+    is the direct check that the HEAD field carries the head (its target is
+    the head-only composite, load_audface.py:86-91)."""
     frame = make_frame_fn(cfg, ds, state, data)
-    ses = []
+    ses_com, ses_head = [], []
     for i in np.asarray(ds.i_val):
-        pred = np.asarray(jnp.clip(frame(int(i)), 0.0, 1.0))
-        gt = np.asarray(ds.imgs_com[int(i)]).astype(np.float32) / 255.0
-        ses.append(float(np.mean((pred - gt) ** 2)))
-    return float(-10.0 * np.log10(np.mean(ses)))
+        sig, sig_t = frame.sig_fn(state["params"], jnp.int32(int(i)))
+        head, com = frame.render(
+            state["params"], state["z_shape"], state["z_app"],
+            data["poses"][int(i)], data["poses"][0], sig, sig_t,
+            data["bc_img"],
+        )
+        gt_com = np.asarray(ds.imgs_com[int(i)]).astype(np.float32) / 255.0
+        gt_head = np.asarray(ds.imgs_head[int(i)]).astype(np.float32) / 255.0
+        ses_com.append(float(np.mean(
+            (np.asarray(jnp.clip(com, 0.0, 1.0)) - gt_com) ** 2)))
+        ses_head.append(float(np.mean(
+            (np.asarray(jnp.clip(head, 0.0, 1.0)) - gt_head) ** 2)))
+    to_psnr = lambda ses: float(-10.0 * np.log10(max(np.mean(ses), 1e-12)))
+    return to_psnr(ses_com), to_psnr(ses_head)
 
 
 def _log(msg):
@@ -117,7 +133,7 @@ def run(n_train=4000, occ_thresh=0.5, bake_steps=800, bake_lambda=5e-4):
     state, m, key = run_steps(step, state, data, n_train, jax.random.PRNGKey(1))
     train_s = time.time() - t0
     _log(f"trained in {train_s:.0f}s; eval psnr...")
-    psnr_trained = val_psnr(cfg0, ds, state, data)
+    psnr_trained, psnr_head_trained = val_psnr(cfg0, ds, state, data)
 
     t0 = time.time()
     _log("baking...")
@@ -125,12 +141,12 @@ def run(n_train=4000, occ_thresh=0.5, bake_steps=800, bake_lambda=5e-4):
     state, m, key = run_steps(bake, state, data, bake_steps, key)
     bake_s = time.time() - t0
     _log(f"baked in {bake_s:.0f}s; eval psnr...")
-    psnr_baked = val_psnr(cfg0, ds, state, data)
+    psnr_baked, psnr_head_baked = val_psnr(cfg0, ds, state, data)
 
     # serving: no-skip baseline vs ERT + occupancy on the SAME weights
     _log("bench noskip...")
     frame0 = make_frame_fn(cfg0, ds, state, data)
-    fps_noskip = bench_fps(frame0)
+    fps_noskip, fps_noskip_max = bench_fps(frame0)
     ref_img = frame0(19)
 
     cfg1 = ExperimentConfig(
@@ -141,8 +157,12 @@ def run(n_train=4000, occ_thresh=0.5, bake_steps=800, bake_lambda=5e-4):
     )
     _log(f"noskip {fps_noskip:.2f} fps; bench skip...")
     frame1 = make_frame_fn(cfg1, ds, state, data)
-    fps_skip = bench_fps(frame1)
-    max_err = float(jnp.abs(frame1(19) - ref_img).max())
+    fps_skip, fps_skip_max = bench_fps(frame1)
+    # skip-lever error on THIS trained scene, across several frames (each
+    # frame = a different conditioning signal; flags refresh every 4 frames
+    # so frames 1-3 also measure the stale-flag error)
+    errs = [float(jnp.abs(frame1(i) - frame0(i)).max()) for i in range(6)]
+    max_err = max(errs)
     occ_frac, head_psnr_vs_bg = scene_diagnostics(cfg0, ds, state, data,
                                                   occ_thresh, frame0)
 
@@ -152,11 +172,15 @@ def run(n_train=4000, occ_thresh=0.5, bake_steps=800, bake_lambda=5e-4):
         "unit": "fps",
         "vs_baseline": round(fps_skip / 30.0, 4),
         "extra": {
+            "fps_skip_max": round(fps_skip_max, 3),
             "fps_noskip": round(fps_noskip, 3),
+            "fps_noskip_max": round(fps_noskip_max, 3),
             "speedup_vs_noskip": round(fps_skip / fps_noskip, 2),
             "max_abs_err_vs_noskip": round(max_err, 5),
             "val_psnr_trained": round(psnr_trained, 2),
             "val_psnr_after_bake": round(psnr_baked, 2),
+            "val_psnr_head_trained": round(psnr_head_trained, 2),
+            "val_psnr_head_after_bake": round(psnr_head_baked, 2),
             "train_steps": n_train,
             "bake_steps": bake_steps,
             "bake_lambda": bake_lambda,
@@ -213,8 +237,10 @@ def scene_diagnostics(cfg, ds, state, data, occ_thresh, frame0):
     )[0])
     bc = np.asarray(ds.bc_img).astype(np.float32) / 255.0
     mse = float(np.mean((np.clip(head, 0.0, 1.0) - bc) ** 2))
-    psnr = -10.0 * np.log10(max(mse, 1e-10))
-    return round(float(occ.mean()), 4), round(min(psnr, 99.0), 2)
+    # uncapped: byte-identical head-render-vs-bg reports the true (large)
+    # value via the 1e-12 floor rather than a 99 dB cap
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    return round(float(occ.mean()), 4), round(psnr, 2)
 
 
 def main(*args, **kwargs):

@@ -35,12 +35,17 @@ def _lookat_pose(eye: np.ndarray, target: np.ndarray, up=(0.0, 1.0, 0.0)):
     return c2w
 
 
-def analytic_field(pts: jnp.ndarray, audio_state: jnp.ndarray):
-    """Analytic radiance field: (head sphere + torso box) driven by a scalar.
+def analytic_field(pts: jnp.ndarray, audio_state: jnp.ndarray,
+                   include_torso: bool = True):
+    """Analytic radiance field: (head sphere [+ torso box]) driven by a scalar.
 
     Args:
         pts: [N, 3] world points.
         audio_state: scalar in [-1, 1] modulating the head color / mouth.
+        include_torso: with False, only the head sphere contributes — used
+            for the head-only GT composites (the reference's ``head_imgs``
+            are head-over-background with the torso removed,
+            process_data_ba.py:270-286 / load_audface.py:86-91).
     Returns:
         rgb [N, 3] in [0,1], sigma [N] >= 0.
     """
@@ -58,6 +63,8 @@ def analytic_field(pts: jnp.ndarray, audio_state: jnp.ndarray):
         ],
         axis=-1,
     )
+    if not include_torso:
+        return jnp.clip(head_rgb, 0.0, 1.0), sigma_head
     # torso: axis-aligned box below the head
     q = jnp.abs(pts - jnp.array([0.0, -0.22, 0.0])) - jnp.array([0.13, 0.11, 0.06])
     d_torso = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1) + jnp.minimum(
@@ -72,13 +79,14 @@ def analytic_field(pts: jnp.ndarray, audio_state: jnp.ndarray):
     return jnp.clip(rgb, 0.0, 1.0), sigma
 
 
-def _render_gt_frame(c2w, H, W, focal, audio_state, bc, n_samples, near, far):
+def _render_gt_frame(c2w, H, W, focal, audio_state, bc, n_samples, near, far,
+                     include_torso: bool = True):
     rays_o, rays_d = get_rays(H, W, focal, c2w)
     rays_o = rays_o.reshape(-1, 3)
     rays_d = rays_d.reshape(-1, 3)
     z_vals = stratified_z_vals(near, far, H * W, n_samples)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-    rgb, sigma = analytic_field(pts.reshape(-1, 3), audio_state)
+    rgb, sigma = analytic_field(pts.reshape(-1, 3), audio_state, include_torso)
     rgb = rgb.reshape(H * W, n_samples, 3)
     sigma = sigma.reshape(H * W, n_samples)
     # background concat: last sample is the background pixel at full density
@@ -128,15 +136,32 @@ def make_synthetic_dataset(
         np.stack([yy, yy * 0.95, yy * 0.9], axis=-1), (H, W, 3)
     ).copy()
 
+    # Two target sets, matching the reference's on-disk contract
+    # (load_audface.py:86-91): ``com_imgs`` = full head+torso composite over
+    # the background; ``head_imgs`` = HEAD-ONLY over the background (torso
+    # removed). The head loss targeting the head-only composite is what pins
+    # the head volume into the head field
+    # (run_nerf_com_trainExpLater.py:902-907) — with a shared full-composite
+    # target the head field can collapse to empty while the torso field's
+    # signal-conditioned far-plane catch-all absorbs the whole image.
     render = jax.jit(
-        lambda c2w, a: _render_gt_frame(
-            c2w, H, W, focal, a, jnp.asarray(bc), n_samples_gt, near, far
-        )
+        lambda c2w, a, torso: _render_gt_frame(
+            c2w, H, W, focal, a, jnp.asarray(bc), n_samples_gt, near, far,
+            torso,
+        ),
+        static_argnums=2,
     )
     imgs = np.zeros((n_frames, H, W, 3), np.uint8)
+    imgs_head = np.zeros((n_frames, H, W, 3), np.uint8)
     for i in range(n_frames):
-        frame = np.asarray(render(jnp.asarray(poses[i]), jnp.float32(audio_state[i])))
-        imgs[i] = (np.clip(frame, 0, 1) * 255).astype(np.uint8)
+        c2w = jnp.asarray(poses[i])
+        a = jnp.float32(audio_state[i])
+        imgs[i] = (
+            np.clip(np.asarray(render(c2w, a, True)), 0, 1) * 255
+        ).astype(np.uint8)
+        imgs_head[i] = (
+            np.clip(np.asarray(render(c2w, a, False)), 0, 1) * 255
+        ).astype(np.uint8)
 
     # face rect: central square around the head (pixel coords y,x order as
     # the reference rect convention [x, y, w, h] with x=row — see
@@ -153,7 +178,7 @@ def make_synthetic_dataset(
         poses=poses,
         auds=auds,
         exps=exps,
-        imgs_head=imgs,
+        imgs_head=imgs_head,
         imgs_com=imgs,
         bc_img=(bc * 255).astype(np.uint8),
         sample_rects=rects,

@@ -46,6 +46,42 @@ def init_bn(c) -> Dict[str, jnp.ndarray]:
     }
 
 
+def init_deconv(key, c_in, c_out, ks, bias=False,
+                std: float = 0.001) -> Dict[str, jnp.ndarray]:
+    """ConvTranspose2d params, stored pre-flipped in forward-conv HWIO
+    layout (see conv_transpose2d). torch init: normal(0, 0.001), the
+    reference's deconv init (pose_resnet.py:246)."""
+    kh, kw = (ks, ks) if isinstance(ks, int) else ks
+    k1, _ = jax.random.split(key)
+    p = {"w": jax.random.normal(k1, (kh, kw, c_in, c_out)) * std}
+    if bias:
+        p["b"] = jnp.zeros((c_out,))
+    return p
+
+
+def deconv_from_torch(sd: Mapping, name: str,
+                      groups: int = 1) -> Dict[str, jnp.ndarray]:
+    """Convert ConvTranspose2d weights [C_in, C_out/groups, kh, kw] to the
+    flipped forward-conv HWIO kernel conv_transpose2d expects
+    ([kh, kw, C_in/groups, C_out])."""
+    w = _np32(sd[f"{name}.weight"])[:, :, ::-1, ::-1]
+    if groups == 1:
+        w = w.transpose(2, 3, 0, 1)
+    else:
+        # [g * cin_g, cout_g, kh, kw] -> [kh, kw, cin_g, g * cout_g]
+        g = groups
+        cin_g = w.shape[0] // g
+        cout_g = w.shape[1]
+        w = w.reshape(g, cin_g, cout_g, *w.shape[2:])
+        w = w.transpose(3, 4, 1, 0, 2).reshape(
+            w.shape[3], w.shape[4], cin_g, g * cout_g
+        )
+    p = {"w": jnp.asarray(np.ascontiguousarray(w))}
+    if f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(_np32(sd[f"{name}.bias"]))
+    return p
+
+
 def conv_from_torch(sd: Mapping, name: str) -> Dict[str, jnp.ndarray]:
     p = {"w": jnp.asarray(_np32(sd[f"{name}.weight"]).transpose(2, 3, 1, 0))}
     if f"{name}.bias" in sd:
@@ -76,6 +112,38 @@ def conv2d(p, x, stride=1, padding=0, groups=1, dilation=1):
         window_strides=stride,
         padding=[(padding[0], padding[0]), (padding[1], padding[1])],
         rhs_dilation=dilation,
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def conv_transpose2d(p, x, stride=2, padding=1, output_padding=0, groups=1):
+    """NHWC transposed conv with torch ConvTranspose2d semantics.
+
+    Implemented as an input-dilated forward conv with the spatially
+    flipped kernel (p["w"] arrives pre-flipped, [kh, kw, C_in, C_out]):
+    out = (in - 1) * stride - 2 * padding + k + output_padding.
+    """
+    kh, kw = p["w"].shape[:2]
+    stride = (stride, stride) if isinstance(stride, int) else stride
+    padding = (padding, padding) if isinstance(padding, int) else padding
+    opad = (
+        (output_padding, output_padding)
+        if isinstance(output_padding, int) else output_padding
+    )
+    pads = [
+        (kh - 1 - padding[0], kh - 1 - padding[0] + opad[0]),
+        (kw - 1 - padding[1], kw - 1 - padding[1] + opad[1]),
+    ]
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"],
+        window_strides=(1, 1),
+        padding=pads,
+        lhs_dilation=stride,
         feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )

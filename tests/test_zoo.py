@@ -247,6 +247,284 @@ def test_face_mobilenet_ghosthead_parity():
 
 
 @needs_reference
+@pytest.mark.parametrize("depth", [18, 50])
+def test_pose_resnet_parity(depth):
+    """PoseResNet (pose_resnet.py): ResNet trunk + ConvTranspose2d head —
+    a distinct architecture family from the HRNet/mobilenet zoo."""
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.zoo_extra import (
+        apply_pose_resnet, pose_resnet_from_torch,
+    )
+
+    ref = _import_ref_module("pose_resnet")
+    extra = _Cfg(
+        NUM_LAYERS=depth, DECONV_WITH_BIAS=False, NUM_DECONV_LAYERS=3,
+        NUM_DECONV_FILTERS=[256, 256, 256], NUM_DECONV_KERNELS=[4, 4, 4],
+        FINAL_CONV_KERNEL=1,
+    )
+    cfg = _Cfg(MODEL=_Cfg(EXTRA=extra, NUM_JOINTS=17, INIT_WEIGHTS=False))
+    torch.manual_seed(0)
+    net = ref.get_pose_net(cfg, is_train=False)
+    net.eval()
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    params = pose_resnet_from_torch(net.state_dict(), depth=depth)
+    got = apply_pose_resnet(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), depth=depth
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=5e-4, rtol=1e-3
+    )
+
+
+@needs_reference
+def test_face_mobilenet_drelu_parity():
+    """MobileNetV2-DReLU face net (face_mobilenet_DReLU.py): the dynamic
+    k-piece-max activation + regress/heatmap/aux heads."""
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.zoo_extra import (
+        apply_face_mobilenet_drelu, face_mobilenet_drelu_from_torch,
+    )
+
+    ref = _import_ref_module("face_mobilenet_DReLU")
+    extra = _Cfg(
+        INTERMEDIATE_CHANNELS=32, USE_REGRESS_BRANCH=True,
+        USE_HEATMAP_BRANCH=True, USE_AUX_HEAD=True,
+        DECONV_WITH_BIAS=False, NUM_DECONV_LAYERS=3,
+        NUM_DECONV_FILTERS=[256, 256, 256], NUM_DECONV_KERNELS=[4, 4, 4],
+        FINAL_CONV_KERNEL=1, DOWN_SAMPLE=32,
+    )
+    cfg = _Cfg(
+        MODEL=_Cfg(EXTRA=extra, NUM_FACE_JOINTS=68, IMAGE_SIZE=[64, 64])
+    )
+    torch.manual_seed(0)
+    net = ref.get_face_net(cfg, is_train=False)
+    net.eval()
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        want = net(x)
+    params = face_mobilenet_drelu_from_torch(net.state_dict())
+    got = apply_face_mobilenet_drelu(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["regress"]), want["regress"].numpy(),
+        atol=5e-4, rtol=1e-3,
+    )
+    for k in ("heatmap", "heatmap_aux"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]).transpose(0, 3, 1, 2), want[k].numpy(),
+            atol=5e-4, rtol=1e-3,
+        )
+
+
+@needs_reference
+def test_center_mobilenet_parity():
+    """CenterNet-style FaceMobileNet (face_centerMobilenet.py): multi-scale
+    MobileNetV2 features + grouped-deconv FPN + per-task heads."""
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.zoo_extra import (
+        DEFAULT_CENTER_HEADS, apply_center_mobilenet,
+        center_mobilenet_from_torch,
+    )
+
+    ref = _import_ref_module("face_centerMobilenet")
+    torch.manual_seed(0)
+    net = ref.get_face_net(is_train=False)
+    net.eval()
+    x = torch.randn(1, 3, 128, 128)
+    with torch.no_grad():
+        want = net(x)
+    params = center_mobilenet_from_torch(net.state_dict())
+    got = apply_center_mobilenet(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    )
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k]).transpose(0, 3, 1, 2), want[k].numpy(),
+            atol=5e-4, rtol=1e-3,
+        )
+
+
+@needs_reference
+def test_mobile_head_parity():
+    """MobileHead decoder (mobile_head.py): bilinear upsample +
+    mobile_block InvertedResiduals (fixed padding, 768 hidden cap)."""
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.zoo_extra import (
+        MOBILE_HEAD_SETTING, apply_mobile_head, mobile_head_from_torch,
+    )
+
+    # mobile_head imports mobile_block relatively; load via synthetic pkg
+    pkg = types.ModuleType("refzoo")
+    pkg.__path__ = [MODELS_DIR]
+    sys.modules["refzoo"] = pkg
+    _ensure_torchvision_stub()
+    ref = __import__("refzoo.mobile_head", fromlist=["x"])
+
+    cfg = _Cfg(MODEL=_Cfg(EXTRA=_Cfg(DECONV_WITH_BIAS=False)))
+    torch.manual_seed(0)
+    net = ref.MobileHead(cfg, 96, 68, [list(s) for s in MOBILE_HEAD_SETTING])
+    net.eval()
+    x = torch.randn(1, 96, 8, 8)
+    with torch.no_grad():
+        want = net(x).numpy()
+    params = mobile_head_from_torch(net.state_dict())
+    got = apply_mobile_head(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=5e-4, rtol=1e-3
+    )
+
+
+@needs_reference
+@pytest.mark.parametrize("dense", [True, False])
+def test_face_mobilenet_densereg_parity(dense):
+    """denseReg variant: 1x1 dense-regression (or pooled FC) on
+    features[:14] + aux deconv head (its use_heatmap branch references an
+    undefined c4 upstream and is out of contract)."""
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.zoo_extra import (
+        apply_face_mobilenet_densereg, face_mobilenet_densereg_from_torch,
+    )
+
+    pkg = types.ModuleType("refzoo")
+    pkg.__path__ = [MODELS_DIR]
+    sys.modules["refzoo"] = pkg
+    _ensure_torchvision_stub()
+    ref = __import__("refzoo.face_mobilenet_denseReg", fromlist=["x"])
+    extra = _Cfg(
+        INTERMEDIATE_CHANNELS=32, USE_REGRESS_BRANCH=True,
+        USE_HEATMAP_BRANCH=False, USE_AUX_HEAD=True,
+        DECONV_WITH_BIAS=False, NUM_DECONV_LAYERS=3,
+        NUM_DECONV_FILTERS=[256, 256, 256], NUM_DECONV_KERNELS=[4, 4, 4],
+        FINAL_CONV_KERNEL=1, DOWN_SAMPLE=32, DENSE_REGRESSION=dense,
+    )
+    cfg = _Cfg(
+        MODEL=_Cfg(EXTRA=extra, NUM_FACE_JOINTS=68, IMAGE_SIZE=[64, 64]),
+        FACE_DATASET=_Cfg(NEGATIVE_EXAMPLE=False),
+    )
+    torch.manual_seed(0)
+    net = ref.get_face_net(cfg, is_train=False)
+    net.eval()
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        want = net(x)
+    params = face_mobilenet_densereg_from_torch(net.state_dict())
+    got = apply_face_mobilenet_densereg(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), dense=dense
+    )
+    w_reg = want["regress"].numpy()
+    g_reg = np.asarray(got["regress"])
+    if dense:
+        g_reg = g_reg.transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(g_reg, w_reg, atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(got["heatmap_aux"]).transpose(0, 3, 1, 2),
+        want["heatmap_aux"].numpy(), atol=5e-4, rtol=1e-3,
+    )
+
+
+@needs_reference
+@pytest.mark.parametrize("variant", ["eyeBranch", "mutiScale"])
+def test_face_mobilenet_staged_variants_parity(variant):
+    """eyeBranch / mutiScale regress variants (staged backbone split;
+    their use_heatmap branches reference undefined c4 upstream)."""
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.zoo_extra import (
+        apply_face_mobilenet_eyebranch,
+        apply_face_mobilenet_mutiscale,
+        face_mobilenet_staged_from_torch,
+    )
+
+    pkg = types.ModuleType("refzoo")
+    pkg.__path__ = [MODELS_DIR]
+    sys.modules["refzoo"] = pkg
+    _ensure_torchvision_stub()
+    ref = __import__(f"refzoo.face_mobilenet_{variant}", fromlist=["x"])
+    extra = _Cfg(
+        INTERMEDIATE_CHANNELS=32, USE_REGRESS_BRANCH=True,
+        USE_HEATMAP_BRANCH=False, USE_AUX_HEAD=False,
+        DECONV_WITH_BIAS=False, NUM_DECONV_LAYERS=3,
+        NUM_DECONV_FILTERS=[256, 256, 256], NUM_DECONV_KERNELS=[4, 4, 4],
+        FINAL_CONV_KERNEL=1, DOWN_SAMPLE=32,
+    )
+    cfg = _Cfg(
+        MODEL=_Cfg(EXTRA=extra, NUM_FACE_JOINTS=68, NUM_EYE_JOINTS=6,
+                   IMAGE_SIZE=[64, 64]),
+        FACE_DATASET=_Cfg(NEGATIVE_EXAMPLE=False),
+    )
+    torch.manual_seed(0)
+    net = ref.get_face_net(cfg, is_train=False)
+    net.eval()
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        want = net(x)
+    params = face_mobilenet_staged_from_torch(net.state_dict())
+    apply = (apply_face_mobilenet_eyebranch if variant == "eyeBranch"
+             else apply_face_mobilenet_mutiscale)
+    got = apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), want[k].numpy(), atol=5e-4, rtol=1e-3
+        )
+
+
+@needs_reference
+def test_pose_mobilenet_parity():
+    """PoseMobilenet (pose_mobilenet.py): full MobileNetV2 + ConvBNReLU
+    funnel -> MLP regress head + deconv heatmap head."""
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.zoo_extra import (
+        apply_pose_mobilenet, pose_mobilenet_from_torch,
+    )
+
+    ref = _import_ref_module("pose_mobilenet")
+    extra = _Cfg(
+        INTERMEDIATE_CHANNELS=32, USE_REGRESS_BRANCH=True,
+        USE_HEATMAP_BRANCH=True, DECONV_WITH_BIAS=False,
+        NUM_DECONV_LAYERS=3, NUM_DECONV_FILTERS=[256, 256, 256],
+        NUM_DECONV_KERNELS=[4, 4, 4], FINAL_CONV_KERNEL=1, DOWN_SAMPLE=32,
+    )
+    cfg = _Cfg(MODEL=_Cfg(EXTRA=extra, NUM_FACE_JOINTS=68, NUM_JOINTS=17,
+                          IMAGE_SIZE=[64, 64]))
+    torch.manual_seed(0)
+    net = ref.get_pose_net(cfg, is_train=False)
+    net.eval()
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        want = net(x)
+    params = pose_mobilenet_from_torch(net.state_dict())
+    got = apply_pose_mobilenet(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["regress"]), want["regress"].numpy(),
+        atol=5e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["heatmap"]).transpose(0, 3, 1, 2),
+        want["heatmap"].numpy(), atol=5e-4, rtol=1e-3,
+    )
+
+
+@needs_reference
 def test_u2net_odd_size_ceil_pools():
     """ceil_mode pooling path: odd spatial sizes round UP at every level."""
     import torch
