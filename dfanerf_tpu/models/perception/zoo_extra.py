@@ -119,16 +119,8 @@ def init_pose_resnet(
     return p
 
 
-def apply_pose_resnet(
-    params: Params,
-    x: jnp.ndarray,
-    depth: int = 50,
-    deconv_kernels: Sequence[int] = (4, 4, 4),
-    final_kernel: int = 1,
-) -> jnp.ndarray:
-    """x [N, H, W, 3] -> heatmaps [N, H/4 * 2^(d-3), ..., num_joints]
-    (pose_resnet.py:192-206: /32 trunk, x2 per deconv)."""
-    kind, layers = RESNET_SPEC[depth]
+def _resnet_trunk(params: Params, x: jnp.ndarray, depth: int) -> jnp.ndarray:
+    kind, _ = RESNET_SPEC[depth]
     h = jax.nn.relu(
         batchnorm(params["stem"]["bn"],
                   conv2d(params["stem"]["conv"], x, stride=2, padding=3))
@@ -158,13 +150,30 @@ def apply_pose_resnet(
                     b["downsample"]["bn"],
                     conv2d(b["downsample"]["conv"], h, stride=s))
             h = jax.nn.relu(out + residual)
-    for d, ks in zip(params["deconvs"], deconv_kernels):
+    return h
+
+
+def _deconv_head(deconvs, final, h, deconv_kernels, final_kernel):
+    for d, ks in zip(deconvs, deconv_kernels):
         pad, opad = _deconv_pad(ks)
         h = jax.nn.relu(batchnorm(
             d["bn"], conv_transpose2d(d["deconv"], h, stride=2, padding=pad,
                                       output_padding=opad)))
-    return conv2d(params["final"], h,
-                  padding=1 if final_kernel == 3 else 0)
+    return conv2d(final, h, padding=1 if final_kernel == 3 else 0)
+
+
+def apply_pose_resnet(
+    params: Params,
+    x: jnp.ndarray,
+    depth: int = 50,
+    deconv_kernels: Sequence[int] = (4, 4, 4),
+    final_kernel: int = 1,
+) -> jnp.ndarray:
+    """x [N, H, W, 3] -> heatmaps [N, H/4 * 2^(d-3), ..., num_joints]
+    (pose_resnet.py:192-206: /32 trunk, x2 per deconv)."""
+    h = _resnet_trunk(params, x, depth)
+    return _deconv_head(params["deconvs"], params["final"], h,
+                        deconv_kernels, final_kernel)
 
 
 def pose_resnet_from_torch(
@@ -200,6 +209,39 @@ def pose_resnet_from_torch(
         for i in range(n_deconvs)
     ]
     p["final"] = conv_from_torch(sd, "final_layer")
+    return p
+
+
+# --------------------------------------------------------------------------
+# pose_face_resnet.py: PoseResNet trunk + TWO deconv heads (pose + face),
+# outputs channel-concatenated (:217-225).
+# --------------------------------------------------------------------------
+
+
+def apply_pose_face_resnet(
+    params: Params,
+    x: jnp.ndarray,
+    depth: int = 18,
+    deconv_kernels: Sequence[int] = (4, 4, 4),
+    final_kernel: int = 1,
+) -> jnp.ndarray:
+    h = _resnet_trunk(params, x, depth)
+    pose = _deconv_head(params["deconvs"], params["final"], h,
+                        deconv_kernels, final_kernel)
+    face = _deconv_head(params["face_deconvs"], params["face_final"], h,
+                        deconv_kernels, final_kernel)
+    return jnp.concatenate([pose, face], axis=-1)
+
+
+def pose_face_resnet_from_torch(sd: Mapping[str, Any], depth: int = 18,
+                                n_deconvs: int = 3) -> Params:
+    p = pose_resnet_from_torch(sd, depth, n_deconvs)
+    p["face_deconvs"] = [
+        {"deconv": deconv_from_torch(sd, f"face_deconv_layers.{3 * i}"),
+         "bn": bn_from_torch(sd, f"face_deconv_layers.{3 * i + 1}")}
+        for i in range(n_deconvs)
+    ]
+    p["face_final"] = conv_from_torch(sd, "face_final_layer")
     return p
 
 
@@ -735,6 +777,518 @@ def face_mobilenet_staged_from_torch(sd: Mapping[str, Any],
 
 
 # --------------------------------------------------------------------------
+# FAN stacked hourglass with CoordConv (face_net.py + core/coord_conv.py):
+# pre-activation ConvBlocks (BN-ReLU-conv x3, split-channel concat),
+# recursive hourglass with avg-pool down / nearest up, CoordConvTh stem
+# and per-module boundary-aware CoordConv.
+# --------------------------------------------------------------------------
+
+
+def _add_coords(x: jnp.ndarray, heatmap=None, with_r=True,
+                with_boundary=False):
+    """AddCoordsTh.forward (coord_conv.py:13-75) in NHWC: xx varies along
+    H normalized by (H-1), yy along W by (W-1), both in [-1, 1]; optional
+    radius channel and boundary-masked coords from heatmap[..., -1]."""
+    n, h, w, c = x.shape
+    xx = jnp.broadcast_to(
+        (jnp.arange(h, dtype=jnp.float32)[:, None] / (h - 1)) * 2 - 1,
+        (h, w))[None, :, :, None]
+    yy = jnp.broadcast_to(
+        (jnp.arange(w, dtype=jnp.float32)[None, :] / (w - 1)) * 2 - 1,
+        (h, w))[None, :, :, None]
+    xx = jnp.broadcast_to(xx, (n, h, w, 1))
+    yy = jnp.broadcast_to(yy, (n, h, w, 1))
+    parts = [x, xx, yy]
+    if with_r:
+        rr = jnp.sqrt(xx ** 2 + yy ** 2)
+        parts.append(rr / jnp.max(rr))
+    if with_boundary and heatmap is not None:
+        b = jnp.clip(heatmap[..., -1:], 0.0, 1.0)
+        parts += [jnp.where(b > 0.05, xx, 0.0), jnp.where(b > 0.05, yy, 0.0)]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _conv_block(p, x):
+    """face_net.py ConvBlock: three BN-ReLU-conv stages producing
+    out/2 + out/4 + out/4 concat, with a BN-ReLU-1x1 downsample shortcut
+    when channels change."""
+    o1 = conv2d(p["conv1"], jax.nn.relu(batchnorm(p["bn1"], x)), padding=1)
+    o2 = conv2d(p["conv2"], jax.nn.relu(batchnorm(p["bn2"], o1)), padding=1)
+    o3 = conv2d(p["conv3"], jax.nn.relu(batchnorm(p["bn3"], o2)), padding=1)
+    out = jnp.concatenate([o1, o2, o3], axis=-1)
+    if "down" in p:
+        res = conv2d(p["down"]["conv"], jax.nn.relu(
+            batchnorm(p["down"]["bn"], x)))
+    else:
+        res = x
+    return out + res
+
+
+def _avg_pool2(x):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) / 4.0
+
+
+def _hourglass(p, level, x):
+    """HourGlass._forward (face_net.py:108-138), depth-recursive."""
+    from dfanerf_tpu.models.perception.common import resize_nearest
+
+    up1 = _conv_block(p[f"b1_{level}"], x)
+    low1 = _conv_block(p[f"b2_{level}"], _avg_pool2(x))
+    if level > 1:
+        low2 = _hourglass(p, level - 1, low1)
+    else:
+        low2 = _conv_block(p[f"b2_plus_{level}"], low1)
+    low3 = _conv_block(p[f"b3_{level}"], low2)
+    up2 = resize_nearest(low3, (up1.shape[1], up1.shape[2]))
+    return up1 + up2
+
+
+def apply_fan(params: Params, x: jnp.ndarray, num_modules: int = 1,
+              end_relu: bool = False):
+    """FAN.forward (face_net.py:193-228): CoordConv stem -> ConvBlocks ->
+    stacked (CoordConv hourglass -> top ConvBlock -> 1x1 head) with
+    intermediate supervision. Returns (outputs, boundary_channels)."""
+    h_in = _add_coords(x, with_r=True, with_boundary=False)
+    h = conv2d(params["conv1"], h_in, stride=2, padding=3)
+    h = jax.nn.relu(batchnorm(params["bn1"], h))
+    h = _avg_pool2(_conv_block(params["conv2"], h))
+    h = _conv_block(params["conv3"], h)
+    h = _conv_block(params["conv4"], h)
+    previous = h
+    outputs, boundaries = [], []
+    tmp_out = None
+    for i in range(num_modules):
+        m = params[f"m{i}"]
+        hg_in = _add_coords(previous, tmp_out, with_r=True,
+                            with_boundary=True)
+        boundary = hg_in[..., -2:]
+        hg = _hourglass(m, 4, conv2d(m["coordconv"], hg_in))
+        ll = _conv_block(params[f"top_m_{i}"], hg)
+        ll = jax.nn.relu(batchnorm(params[f"bn_end{i}"],
+                                   conv2d(params[f"conv_last{i}"], ll)))
+        tmp_out = conv2d(params[f"l{i}"], ll)
+        if end_relu:
+            tmp_out = jax.nn.relu(tmp_out)
+        outputs.append(tmp_out)
+        boundaries.append(boundary)
+        if i < num_modules - 1:
+            ll = conv2d(params[f"bl{i}"], ll)
+            previous = previous + ll + conv2d(params[f"al{i}"], tmp_out)
+    return outputs, boundaries
+
+
+def fan_from_torch(sd: Mapping[str, Any], num_modules: int = 1) -> Params:
+    def convblock(prefix):
+        p = {
+            "bn1": bn_from_torch(sd, f"{prefix}.bn1"),
+            "conv1": conv_from_torch(sd, f"{prefix}.conv1"),
+            "bn2": bn_from_torch(sd, f"{prefix}.bn2"),
+            "conv2": conv_from_torch(sd, f"{prefix}.conv2"),
+            "bn3": bn_from_torch(sd, f"{prefix}.bn3"),
+            "conv3": conv_from_torch(sd, f"{prefix}.conv3"),
+        }
+        if f"{prefix}.downsample.0.weight" in sd:
+            p["down"] = {"bn": bn_from_torch(sd, f"{prefix}.downsample.0"),
+                         "conv": conv_from_torch(sd, f"{prefix}.downsample.2")}
+        return p
+
+    p: Params = {
+        "conv1": conv_from_torch(sd, "conv1.conv"),
+        "bn1": bn_from_torch(sd, "bn1"),
+        "conv2": convblock("conv2"),
+        "conv3": convblock("conv3"),
+        "conv4": convblock("conv4"),
+    }
+    for i in range(num_modules):
+        m: Params = {"coordconv": conv_from_torch(sd, f"m{i}.coordconv.conv")}
+        for level in range(4, 0, -1):
+            m[f"b1_{level}"] = convblock(f"m{i}.b1_{level}")
+            m[f"b2_{level}"] = convblock(f"m{i}.b2_{level}")
+            m[f"b3_{level}"] = convblock(f"m{i}.b3_{level}")
+            if level == 1:
+                m[f"b2_plus_{level}"] = convblock(f"m{i}.b2_plus_{level}")
+        p[f"m{i}"] = m
+        p[f"top_m_{i}"] = convblock(f"top_m_{i}")
+        p[f"conv_last{i}"] = conv_from_torch(sd, f"conv_last{i}")
+        p[f"bn_end{i}"] = bn_from_torch(sd, f"bn_end{i}")
+        p[f"l{i}"] = conv_from_torch(sd, f"l{i}")
+        if i < num_modules - 1:
+            p[f"bl{i}"] = conv_from_torch(sd, f"bl{i}")
+            p[f"al{i}"] = conv_from_torch(sd, f"al{i}")
+    return p
+
+
+# --------------------------------------------------------------------------
+# Mobile HRNet (pose_mobile_hrnet.py): the HRNet multi-branch skeleton
+# with 'MOBILE' InvertedResidual blocks — biased convs, ReLU6, fixed
+# padding applied to the BLOCK INPUT (so the 1x1 expand sees the zero
+# border), nearest-upsample fuse, IR layer1 stem.
+# --------------------------------------------------------------------------
+
+# (num_modules, num_branches, num_blocks_per_branch, channels) per stage
+MOBILE_HRNET_STAGES = (
+    (1, 2, (4, 4), (18, 36)),
+    (4, 3, (4, 4, 4), (18, 36, 72)),
+    (3, 4, (4, 4, 4, 4), (18, 36, 72, 144)),
+)
+
+
+def _mobile_ir(p, x, stride=1):
+    """pose_mobile_hrnet.py InvertedResidual (expansion 6, k=3, biased
+    convs, ReLU6, fixed input padding)."""
+    from dfanerf_tpu.models.perception.mobilenet import _relu6
+
+    xp = _fixed_pad(x, 3)
+    h = _relu6(batchnorm(p["pw1"]["bn"], conv2d(p["pw1"]["conv"], xp)))
+    h = _relu6(batchnorm(p["dw"]["bn"],
+                         conv2d(p["dw"]["conv"], h, stride=stride, padding=0,
+                                groups=h.shape[-1])))
+    h = batchnorm(p["pw2"]["bn"], conv2d(p["pw2"]["conv"], h))
+    if stride == 1 and x.shape[-1] == h.shape[-1]:
+        h = h + x
+    return h
+
+
+def apply_mobile_hrnet(
+    params: Params, x: jnp.ndarray, stages=MOBILE_HRNET_STAGES,
+) -> jnp.ndarray:
+    """pose_mobile_hrnet.py PoseHighResolutionNet.forward: /4 stem, 4 IR
+    layer1 blocks, 3 HR stages with MOBILE branches + SUM fuse (nearest
+    upsample), final conv on branch 0."""
+    from dfanerf_tpu.models.perception.common import resize_nearest
+
+    h = jax.nn.relu(batchnorm(params["bn1"],
+                              conv2d(params["conv1"], x, stride=2, padding=1)))
+    h = jax.nn.relu(batchnorm(params["bn2"],
+                              conv2d(params["conv2"], h, stride=2, padding=1)))
+    for b in params["layer1"]:
+        h = _mobile_ir(b, h)
+    feats = [h]
+    for si, (n_modules, n_branches, n_blocks, channels) in enumerate(stages):
+        trans = params[f"transition{si + 1}"]
+        new_feats = []
+        for bi in range(n_branches):
+            if trans[bi] is not None:
+                # a non-None transition always reads the LAST prior branch
+                # (pose_mobile_hrnet.py:492-507 y_list[-1])
+                t = feats[-1]
+                for cb in trans[bi]:
+                    stride = 2 if bi >= len(feats) else 1
+                    t = jax.nn.relu(batchnorm(
+                        cb["bn"], conv2d(cb["conv"], t, stride=stride,
+                                         padding=1)))
+                new_feats.append(t)
+            else:
+                new_feats.append(feats[bi])
+        feats = new_feats
+        for mi in range(n_modules):
+            mod = params[f"stage{si + 2}"][mi]
+            multi_out = not (si == len(stages) - 1 and mi == n_modules - 1)
+            outs = []
+            bs = []
+            for bi in range(n_branches):
+                hb = feats[bi]
+                for blk in mod["branches"][bi]:
+                    hb = _mobile_ir(blk, hb)
+                bs.append(hb)
+            n_out = n_branches if multi_out else 1
+            for i in range(n_out):
+                fl = mod["fuse"][i]
+                y = None
+                for j in range(n_branches):
+                    if i == j:
+                        contrib = bs[j]
+                    elif j > i:
+                        f = fl[j]
+                        contrib = batchnorm(f["bn"], conv2d(f["conv"], bs[j]))
+                        contrib = resize_nearest(
+                            contrib, (bs[i].shape[1], bs[i].shape[2]))
+                    else:
+                        contrib = bs[j]
+                        for k, f in enumerate(fl[j]):
+                            contrib = batchnorm(
+                                f["bn"], conv2d(f["conv"], contrib, stride=2,
+                                                padding=1))
+                            if k < len(fl[j]) - 1:
+                                contrib = jax.nn.relu(contrib)
+                    y = contrib if y is None else y + contrib
+                outs.append(jax.nn.relu(y))
+            feats = outs
+    return conv2d(params["final"], feats[0])
+
+
+def mobile_hrnet_from_torch(
+    sd: Mapping[str, Any], stages=MOBILE_HRNET_STAGES,
+) -> Params:
+    def convbn(cname, bname):
+        return {"conv": conv_from_torch(sd, cname),
+                "bn": bn_from_torch(sd, bname)}
+
+    def ir(prefix):
+        # expansion 6 layout: conv.{0 pw1, 1 bn, 3 dw, 4 bn, 6 pw2, 7 bn}
+        return {"pw1": convbn(f"{prefix}.conv.0", f"{prefix}.conv.1"),
+                "dw": convbn(f"{prefix}.conv.3", f"{prefix}.conv.4"),
+                "pw2": convbn(f"{prefix}.conv.6", f"{prefix}.conv.7")}
+
+    p: Params = {
+        "conv1": conv_from_torch(sd, "conv1"),
+        "bn1": bn_from_torch(sd, "bn1"),
+        "conv2": conv_from_torch(sd, "conv2"),
+        "bn2": bn_from_torch(sd, "bn2"),
+        "layer1": [ir(f"layer1.{i}") for i in range(4)],
+    }
+    prev_branches = 1
+    for si, (n_modules, n_branches, n_blocks, channels) in enumerate(stages):
+        trans = []
+        for bi in range(n_branches):
+            base = f"transition{si + 1}.{bi}"
+            if f"{base}.0.weight" in sd:
+                trans.append([convbn(f"{base}.0", f"{base}.1")])
+            elif f"{base}.0.0.weight" in sd:
+                seq = []
+                k = 0
+                while f"{base}.{k}.0.weight" in sd:
+                    seq.append(convbn(f"{base}.{k}.0", f"{base}.{k}.1"))
+                    k += 1
+                trans.append(seq)
+            else:
+                trans.append(None)
+        p[f"transition{si + 1}"] = trans
+        mods = []
+        for mi in range(n_modules):
+            mb = f"stage{si + 2}.{mi}"
+            branches = [
+                [ir(f"{mb}.branches.{bi}.{blk}")
+                 for blk in range(n_blocks[bi])]
+                for bi in range(n_branches)
+            ]
+            multi_out = not (si == len(stages) - 1 and mi == n_modules - 1)
+            n_out = n_branches if multi_out else 1
+            fuse = []
+            for i in range(n_out):
+                fl = []
+                for j in range(n_branches):
+                    fb = f"{mb}.fuse_layers.{i}.{j}"
+                    if i == j:
+                        fl.append(None)
+                    elif j > i:
+                        fl.append(convbn(f"{fb}.0", f"{fb}.1"))
+                    else:
+                        fl.append([convbn(f"{fb}.{k}.0", f"{fb}.{k}.1")
+                                   for k in range(i - j)])
+                fuse.append(fl)
+            mods.append({"branches": branches, "fuse": fuse})
+        p[f"stage{si + 2}"] = mods
+        prev_branches = n_branches
+    p["final"] = conv_from_torch(sd, "final_layer")
+    return p
+
+
+# --------------------------------------------------------------------------
+# Generalized GhostNet eye encoder-decoder (eye_encoder_decoder.py /
+# _half.py): the ported 300w variant (ghostnet_eye.py) plus this family's
+# extra knobs — RGB input, brow channels (+9), optional gaussian-modulate
+# depthwise conv on the heatmaps, addition encoder/decoder layers, and
+# per-stage decoder upsample scales.
+# --------------------------------------------------------------------------
+
+EYE_ENCODER_SETS = (
+    (3, 16, 16, 0, 1), (3, 48, 24, 0, 2), (3, 72, 24, 0, 1),
+    (5, 72, 40, 1, 2), (5, 120, 40, 1, 1), (3, 240, 80, 0, 2),
+)
+EYE_ENCODER_ADD_SETS = (
+    (3, 200, 80, 0, 1), (3, 184, 80, 0, 1), (3, 184, 80, 0, 1),
+    (3, 480, 112, 1, 1), (3, 672, 112, 1, 1),
+)
+EYE_DECODER_SETS = ((4, 120, 40, 1, 2), (4, 72, 40, 1, 2), (4, 72, 24, 1, 2))
+EYE_DECODER_ADD_SETS = ((4, 184, 80, 1, 2), (4, 120, 80, 1, 2),
+                        (4, 72, 40, 1, 2))
+
+
+def eye_net_sets(addition_encoder: int = 0, addition_decoder: bool = False):
+    """get_eye_net's set construction (eye_encoder_decoder.py:249-283)."""
+    enc = list(EYE_ENCODER_SETS)
+    if addition_encoder:
+        enc += list(EYE_ENCODER_ADD_SETS[:addition_encoder])
+    dec = list(EYE_DECODER_ADD_SETS if addition_decoder else EYE_DECODER_SETS)
+    return tuple(enc), tuple(dec)
+
+
+def dm_kernel(num_joints: int, sigma: float) -> jnp.ndarray:
+    """Gaussian-modulation depthwise kernel (eye_encoder_decoder.py:
+    171-188): size = 2*3*sigma + 1, one gaussian per joint channel."""
+    size = int(2 * (sigma * 3) + 1)
+    x = jnp.arange(size, dtype=jnp.float32)
+    y = x[:, None]
+    x0 = y0 = size // 2
+    g = jnp.exp(-((x - x0) ** 2 + (y - y0) ** 2) / (2.0 * sigma ** 2))
+    # HWIO depthwise kernel [size, size, 1, num_joints]
+    return jnp.broadcast_to(g[:, :, None, None], (size, size, 1, num_joints))
+
+
+def apply_eye_net_general(
+    params: Params,
+    x: jnp.ndarray,
+    encoder_sets=EYE_ENCODER_SETS,
+    decoder_sets=EYE_DECODER_SETS,
+    num_joints: int = 6,
+    gaussian_sigma: float = 0.0,
+) -> jnp.ndarray:
+    """GhostNet.forward of the eye family: stem /2, ghost-bottleneck
+    encoder, (upsample x s + bottleneck) decoder, 1x1 final (+ optional
+    gaussian-modulation depthwise conv)."""
+    from dfanerf_tpu.models.perception.ghostnet_eye import (
+        _bottleneck, _divisible,
+    )
+
+    x = jax.nn.relu(batchnorm(
+        params["stem"]["bn"], conv2d(params["stem"]["conv"], x, stride=2,
+                                     padding=1)))
+    for p, (k, hidden, c, use_se, s) in zip(params["features"], encoder_sets):
+        x = _bottleneck(p, x, _divisible(hidden), _divisible(c), k, s, use_se)
+    for p, (k, hidden, c, use_se, s) in zip(params["head"], decoder_sets):
+        x = jax.image.resize(
+            x, (x.shape[0], x.shape[1] * s, x.shape[2] * s, x.shape[3]),
+            "linear",
+        )
+        x = _bottleneck(p, x, _divisible(hidden), _divisible(c), k, 1, use_se)
+    x = conv2d(params["final"], x)
+    if gaussian_sigma > 0:
+        size = int(2 * (gaussian_sigma * 3) + 1)
+        pad = size // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        x = jax.lax.conv_general_dilated(
+            x, dm_kernel(num_joints, gaussian_sigma), (1, 1), "VALID",
+            feature_group_count=num_joints,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    return x
+
+
+def eye_net_general_from_torch(
+    sd: Mapping[str, Any],
+    encoder_sets=EYE_ENCODER_SETS,
+    decoder_sets=EYE_DECODER_SETS,
+) -> Params:
+    from dfanerf_tpu.models.perception.ghostnet_eye import eye_net_from_torch
+
+    def convbn(cname, bname):
+        return {"conv": conv_from_torch(sd, cname),
+                "bn": bn_from_torch(sd, bname)}
+
+    def ghost(prefix):
+        return {"primary": convbn(f"{prefix}.primary_conv.0",
+                                  f"{prefix}.primary_conv.1"),
+                "cheap": convbn(f"{prefix}.cheap_operation.0",
+                                f"{prefix}.cheap_operation.1")}
+
+    def bottleneck(prefix, stride, use_se):
+        p = {"ghost1": ghost(f"{prefix}.conv.0")}
+        if stride == 2:
+            p["dw"] = convbn(f"{prefix}.conv.1.0", f"{prefix}.conv.1.1")
+        if use_se:
+            p["se"] = {"fc1": _lin_from_torch(sd, f"{prefix}.conv.2.fc.0"),
+                       "fc2": _lin_from_torch(sd, f"{prefix}.conv.2.fc.2")}
+        p["ghost2"] = ghost(f"{prefix}.conv.3")
+        if f"{prefix}.shortcut.0.0.weight" in sd:
+            p["shortcut"] = {
+                "dw": convbn(f"{prefix}.shortcut.0.0",
+                             f"{prefix}.shortcut.0.1"),
+                "pw": convbn(f"{prefix}.shortcut.1", f"{prefix}.shortcut.2"),
+            }
+        return p
+
+    return {
+        "stem": convbn("features.0.0", "features.0.1"),
+        "features": [bottleneck(f"features.{i + 1}", s, se)
+                     for i, (k, h, c, se, s) in enumerate(encoder_sets)],
+        "head": [bottleneck(f"head.{2 * i + 1}", 1, se)
+                 for i, (k, h, c, se, s) in enumerate(decoder_sets)],
+        "final": conv_from_torch(sd, "final_layer"),
+    }
+
+
+# --------------------------------------------------------------------------
+# Regression-style GhostNet eye nets (eye_ghostnet.py / eye_fullGhostnet.py
+# :110-175): encoder bottlenecks -> 1x1 squeeze + global pool ->
+# Linear + BatchNorm1d + ReLU + Linear classifier emitting 2K coords
+# directly (no heatmaps). fullGhostnet only lengthens the sets list.
+# --------------------------------------------------------------------------
+
+EYE_GHOSTNET_SETS = (
+    (3, 16, 16, 0, 1), (3, 48, 24, 0, 2), (3, 72, 24, 0, 1),
+    (5, 72, 40, 1, 2), (5, 120, 40, 1, 1),
+)
+EYE_FULL_GHOSTNET_SETS = EYE_GHOSTNET_SETS + (
+    (3, 240, 80, 0, 2), (3, 200, 80, 0, 1), (3, 184, 80, 0, 1),
+)
+
+
+def apply_eye_ghostnet_regress(
+    params: Params, x: jnp.ndarray, sets=EYE_GHOSTNET_SETS,
+) -> jnp.ndarray:
+    from dfanerf_tpu.models.perception.ghostnet_eye import (
+        _bottleneck, _divisible,
+    )
+
+    x = jax.nn.relu(batchnorm(
+        params["stem"]["bn"], conv2d(params["stem"]["conv"], x, stride=2,
+                                     padding=1)))
+    for p, (k, hidden, c, use_se, s) in zip(params["features"], sets):
+        x = _bottleneck(p, x, _divisible(hidden), _divisible(c), k, s, use_se)
+    x = jax.nn.relu(batchnorm(params["squeeze"]["bn"],
+                              conv2d(params["squeeze"]["conv"], x)))
+    x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1) + flatten
+    x = x @ params["cls1"]["w"]  # bias-free Linear
+    bn = params["cls_bn"]
+    x = bn["gamma"] * (x - bn["mean"]) / jnp.sqrt(bn["var"] + 1e-5) + bn["beta"]
+    x = jax.nn.relu(x)
+    return x @ params["cls2"]["w"] + params["cls2"]["b"]
+
+
+def eye_ghostnet_regress_from_torch(
+    sd: Mapping[str, Any], sets=EYE_GHOSTNET_SETS,
+) -> Params:
+    def convbn(cname, bname):
+        return {"conv": conv_from_torch(sd, cname),
+                "bn": bn_from_torch(sd, bname)}
+
+    def ghost(prefix):
+        return {"primary": convbn(f"{prefix}.primary_conv.0",
+                                  f"{prefix}.primary_conv.1"),
+                "cheap": convbn(f"{prefix}.cheap_operation.0",
+                                f"{prefix}.cheap_operation.1")}
+
+    def bottleneck(prefix, stride, use_se):
+        p = {"ghost1": ghost(f"{prefix}.conv.0")}
+        if stride == 2:
+            p["dw"] = convbn(f"{prefix}.conv.1.0", f"{prefix}.conv.1.1")
+        if use_se:
+            p["se"] = {"fc1": _lin_from_torch(sd, f"{prefix}.conv.2.fc.0"),
+                       "fc2": _lin_from_torch(sd, f"{prefix}.conv.2.fc.2")}
+        p["ghost2"] = ghost(f"{prefix}.conv.3")
+        if f"{prefix}.shortcut.0.0.weight" in sd:
+            p["shortcut"] = {
+                "dw": convbn(f"{prefix}.shortcut.0.0",
+                             f"{prefix}.shortcut.0.1"),
+                "pw": convbn(f"{prefix}.shortcut.1", f"{prefix}.shortcut.2"),
+            }
+        return p
+
+    return {
+        "stem": convbn("features.0.0", "features.0.1"),
+        "features": [bottleneck(f"features.{i + 1}", s, se)
+                     for i, (k, h, c, se, s) in enumerate(sets)],
+        "squeeze": convbn("squeeze.0", "squeeze.1"),
+        "cls1": {"w": jnp.asarray(_np32(sd["classifier.0.weight"]).T)},
+        "cls_bn": bn_from_torch(sd, "classifier.1"),
+        "cls2": _lin_from_torch(sd, "classifier.4"),
+    }
+
+
+# --------------------------------------------------------------------------
 # PoseMobilenet (pose_mobilenet.py:160-232): full MobileNetV2 (incl. the
 # final 1x1 to 1280) + ConvBNReLU-funnel MLP regress head and/or deconv
 # heatmap head.
@@ -841,6 +1395,100 @@ def mobilenet_v2_drelu_keyless(sd, width_mult=1.0,
 
 
 # --------------------------------------------------------------------------
+# Plain FaceMobilenet with the EXACT deconv heads (face_mobilenet.py:
+# 188-330, use_mobile_head=False): ReLU6 MobileNetV2 backbone split at 14,
+# regress FC on pooled c4, deconv heatmap head on c4, aux deconv head on
+# c3. (mobilenet.py's apply_face_mobilenet_heatmap keeps the
+# bilinear-upsample head as a TPU-friendly alternative; this one is the
+# reference's bit-exact head.)
+# --------------------------------------------------------------------------
+
+
+def apply_face_mobilenet_deconv(
+    params: Params,
+    x: jnp.ndarray,
+    width_mult: float = 1.0,
+    deconv_kernels: Sequence[int] = (4, 4, 4),
+    final_kernel: int = 1,
+) -> Dict[str, jnp.ndarray]:
+    c3 = _apply_mnv2_slice(params["backbone"], x, 0, 14, width_mult)
+    c4 = _apply_mnv2_slice(params["backbone"], c3, 14, 19, width_mult)
+    out: Dict[str, jnp.ndarray] = {}
+    if "fc" in params:
+        pooled = jnp.mean(c4, axis=(1, 2))
+        out["regress"] = pooled @ params["fc"]["w"] + params["fc"]["b"]
+    if "deconvs" in params:
+        out["heatmap"] = _deconv_head(params["deconvs"], params["final"],
+                                      c4, deconv_kernels, final_kernel)
+    if "aux_deconvs" in params:
+        out["heatmap_aux"] = _deconv_head(
+            params["aux_deconvs"], params["aux_final"], c3,
+            deconv_kernels[1:], final_kernel)
+    return out
+
+
+def face_mobilenet_deconv_from_torch(sd: Mapping[str, Any],
+                                     width_mult: float = 1.0,
+                                     n_deconvs: int = 3) -> Params:
+    p: Params = {"backbone": mobilenet_v2_drelu_keyless(sd, width_mult)}
+    if "fc_layers.1.weight" in sd:
+        p["fc"] = _lin_from_torch(sd, "fc_layers.1")
+    if "deconv_layers.0.weight" in sd:
+        p["deconvs"] = [
+            {"deconv": deconv_from_torch(sd, f"deconv_layers.{3 * i}"),
+             "bn": bn_from_torch(sd, f"deconv_layers.{3 * i + 1}")}
+            for i in range(n_deconvs)
+        ]
+        p["final"] = conv_from_torch(sd, "deconv_final_layer")
+    if "aux_deconv_layers.0.weight" in sd:
+        p["aux_deconvs"] = [
+            {"deconv": deconv_from_torch(sd, f"aux_deconv_layers.{3 * i}"),
+             "bn": bn_from_torch(sd, f"aux_deconv_layers.{3 * i + 1}")}
+            for i in range(n_deconvs - 1)
+        ]
+        p["aux_final"] = conv_from_torch(sd, "aux_deconv_final_layer")
+    return p
+
+
+# --------------------------------------------------------------------------
+# face_mobilenet_old.py: unsplit MobileNetV2 + ConvBNReLU funnel
+# (1280->320->64) + flatten-MLP regress head (:129-167).
+# --------------------------------------------------------------------------
+
+
+def apply_face_mobilenet_old(params: Params, x: jnp.ndarray,
+                             width_mult: float = 1.0) -> jnp.ndarray:
+    from dfanerf_tpu.models.perception.mobilenet import (
+        _relu6, apply_mobilenet_v2,
+    )
+
+    h = apply_mobilenet_v2(params["backbone"], x, width_mult)
+    for cb in params["inter"]:
+        h = _relu6(batchnorm(cb["bn"], conv2d(cb["conv"], h)))
+    flat = h.transpose(0, 3, 1, 2).reshape(h.shape[0], -1)
+    for i, lin in enumerate(params["fcs"]):
+        flat = flat @ lin["w"] + lin["b"]
+        if i < len(params["fcs"]) - 1:
+            flat = jax.nn.relu(flat)
+    return flat
+
+
+def face_mobilenet_old_from_torch(sd: Mapping[str, Any],
+                                  width_mult: float = 1.0) -> Params:
+    from dfanerf_tpu.models.perception.mobilenet import mobilenet_v2_from_torch
+
+    return {
+        "backbone": mobilenet_v2_from_torch(sd, width_mult),
+        "inter": [
+            {"conv": conv_from_torch(sd, f"intermediate_layers.{i}.0"),
+             "bn": bn_from_torch(sd, f"intermediate_layers.{i}.1")}
+            for i in range(2)
+        ],
+        "fcs": [_lin_from_torch(sd, f"fc_layers.{i}") for i in (1, 4, 6)],
+    }
+
+
+# --------------------------------------------------------------------------
 # CenterNet-style face detector (face_centerMobilenet.py): MobileNetV2
 # multi-scale features [1/4, 1/8, 1/16, 1/32] -> MobileNetUp FPN (grouped
 # 2x2 deconv up + lateral 1x1) -> per-task 1x1 heads (hm with sigmoid).
@@ -872,7 +1520,8 @@ def init_center_mobilenet(
     fpn = []
     for c in ch[1:]:
         fpn.append({
-            "up": {"deconv": init_deconv(next(ks), head_conv, head_conv, 2),
+            # depthwise 2x2 transposed conv: per-group input dim is 1
+            "up": {"deconv": init_deconv(next(ks), 1, head_conv, 2),
                    "bn": init_bn(head_conv)},
             "lateral": {"conv": init_conv(next(ks), c, head_conv, 1,
                                           bias=False),

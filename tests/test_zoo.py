@@ -525,6 +525,295 @@ def test_pose_mobilenet_parity():
 
 
 @needs_reference
+@pytest.mark.parametrize(
+    "variant,kwargs",
+    [
+        ("eye_encoder_decoder", dict(rgb=True, brow=True, dm=0)),
+        ("eye_encoder_decoder", dict(rgb=False, brow=False, dm=2)),
+        ("eye_encoder_decoder_half", dict(add_enc=2, add_dec=True)),
+    ],
+)
+def test_eye_encoder_decoder_variants_parity(variant, kwargs):
+    """The non-300w eye encoder-decoder family: RGB input, brow channels,
+    gaussian-modulate conv, addition encoder/decoder layers."""
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.zoo_extra import (
+        apply_eye_net_general, eye_net_general_from_torch, eye_net_sets,
+    )
+
+    ref = _import_ref_module(variant)
+    extra = _Cfg(INTERMEDIATE_CHANNELS=32, USE_REGRESS_BRANCH=False,
+                 USE_HEATMAP_BRANCH=True)
+    if variant == "eye_encoder_decoder":
+        rgb, brow, dm = kwargs["rgb"], kwargs["brow"], kwargs["dm"]
+        if brow:
+            extra["USE_BROW"] = True
+        if dm:
+            extra["USE_DM"] = True
+        cfg = _Cfg(
+            MODEL=_Cfg(EXTRA=extra, NUM_EYE_JOINTS=6, FACE_SIGMA=dm),
+            DATASET=_Cfg(COLOR_RGB=rgb),
+        )
+        enc_sets, dec_sets = eye_net_sets()
+        in_ch = 3 if rgb else 1
+        sigma = float(dm)
+    else:
+        extra["ADDITION_ENCODER_LAYER"] = kwargs["add_enc"]
+        extra["ADDITION_DECODER_LAYER"] = kwargs["add_dec"]
+        cfg = _Cfg(MODEL=_Cfg(EXTRA=extra, NUM_EYE_JOINTS=6))
+        enc_sets, dec_sets = eye_net_sets(kwargs["add_enc"],
+                                          kwargs["add_dec"])
+        in_ch = 3
+        sigma = 0.0
+    torch.manual_seed(0)
+    net = ref.get_eye_net(cfg, is_train=False)
+    net.eval()
+    x = torch.randn(1, in_ch, 32, 48)
+    with torch.no_grad():
+        want = net(x)["heatmap"].numpy()
+    params = eye_net_general_from_torch(net.state_dict(), enc_sets, dec_sets)
+    got = apply_eye_net_general(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        enc_sets, dec_sets, num_joints=6, gaussian_sigma=sigma,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=5e-4, rtol=1e-3
+    )
+
+
+@needs_reference
+@pytest.mark.parametrize("variant", ["eye_ghostnet", "eye_fullGhostnet"])
+def test_eye_ghostnet_regress_parity(variant):
+    """Coordinate-regression GhostNet eye nets (squeeze + GAP + BN1d MLP)."""
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.zoo_extra import (
+        EYE_FULL_GHOSTNET_SETS, EYE_GHOSTNET_SETS,
+        apply_eye_ghostnet_regress, eye_ghostnet_regress_from_torch,
+    )
+
+    ref = _import_ref_module(variant)
+    extra = _Cfg(INTERMEDIATE_CHANNELS=32, USE_REGRESS_BRANCH=True,
+                 USE_HEATMAP_BRANCH=False)
+    cfg = _Cfg(MODEL=_Cfg(EXTRA=extra, NUM_EYE_JOINTS=6))
+    torch.manual_seed(0)
+    net = ref.get_eye_net(cfg, is_train=False)
+    net.eval()
+    sets = (EYE_GHOSTNET_SETS if variant == "eye_ghostnet"
+            else EYE_FULL_GHOSTNET_SETS)
+    x = torch.randn(2, 1, 32, 48)
+    with torch.no_grad():
+        want = net(x).numpy()
+    params = eye_ghostnet_regress_from_torch(net.state_dict(), sets)
+    got = apply_eye_ghostnet_regress(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), sets
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
+
+
+@needs_reference
+def test_mobile_hrnet_parity():
+    """Mobile HRNet (pose_mobile_hrnet.py): HRNet skeleton with MOBILE
+    InvertedResidual blocks (biased convs, ReLU6, fixed input padding)."""
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.zoo_extra import (
+        MOBILE_HRNET_STAGES, apply_mobile_hrnet, mobile_hrnet_from_torch,
+    )
+
+    ref = _import_ref_module("pose_mobile_hrnet")
+    extra = _Cfg(
+        STAGE2=_Cfg(NUM_MODULES=1, NUM_BRANCHES=2, NUM_BLOCKS=[4, 4],
+                    NUM_CHANNELS=[18, 36], BLOCK="MOBILE", FUSE_METHOD="SUM"),
+        STAGE3=_Cfg(NUM_MODULES=4, NUM_BRANCHES=3, NUM_BLOCKS=[4, 4, 4],
+                    NUM_CHANNELS=[18, 36, 72], BLOCK="MOBILE",
+                    FUSE_METHOD="SUM"),
+        STAGE4=_Cfg(NUM_MODULES=3, NUM_BRANCHES=4, NUM_BLOCKS=[4, 4, 4, 4],
+                    NUM_CHANNELS=[18, 36, 72, 144], BLOCK="MOBILE",
+                    FUSE_METHOD="SUM"),
+        FINAL_CONV_KERNEL=1,
+        PRETRAINED_LAYERS=["*"],
+    )
+    cfg_t = _Cfg(MODEL=_Cfg(EXTRA=extra, NUM_JOINTS=17, INIT_WEIGHTS=False))
+    torch.manual_seed(0)
+    net = ref.get_pose_net(cfg_t, is_train=False)
+    net.eval()
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    params = mobile_hrnet_from_torch(net.state_dict())
+    got = apply_mobile_hrnet(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=5e-4, rtol=1e-3
+    )
+
+
+@needs_reference
+def test_pose_face_resnet_parity():
+    """pose_face_resnet.py: PoseResNet trunk with TWO deconv heads (pose +
+    face), outputs channel-concatenated."""
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.zoo_extra import (
+        apply_pose_face_resnet, pose_face_resnet_from_torch,
+    )
+
+    ref = _import_ref_module("pose_face_resnet")
+    extra = _Cfg(
+        NUM_LAYERS=18, DECONV_WITH_BIAS=False, NUM_DECONV_LAYERS=3,
+        NUM_DECONV_FILTERS=[256, 256, 256], NUM_DECONV_KERNELS=[4, 4, 4],
+        FINAL_CONV_KERNEL=1,
+    )
+    cfg = _Cfg(MODEL=_Cfg(EXTRA=extra, NUM_POSE_JOINTS=17,
+                          NUM_FACE_JOINTS=68, INIT_WEIGHTS=False))
+    torch.manual_seed(0)
+    net = ref.get_pose_net(cfg, is_train=False)
+    net.eval()
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    params = pose_face_resnet_from_torch(net.state_dict(), depth=18)
+    got = apply_pose_face_resnet(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), depth=18
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=5e-4, rtol=1e-3
+    )
+
+
+@needs_reference
+def test_face_mobilenet_deconv_parity():
+    """face_mobilenet.py exact deconv heads (use_mobile_head=False):
+    regress + heatmap + aux on the plain ReLU6 backbone."""
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.zoo_extra import (
+        apply_face_mobilenet_deconv, face_mobilenet_deconv_from_torch,
+    )
+
+    pkg = types.ModuleType("refzoo")
+    pkg.__path__ = [MODELS_DIR]
+    sys.modules["refzoo"] = pkg
+    _ensure_torchvision_stub()
+    ref = __import__("refzoo.face_mobilenet", fromlist=["x"])
+    extra = _Cfg(
+        INTERMEDIATE_CHANNELS=32, USE_REGRESS_BRANCH=True,
+        USE_HEATMAP_BRANCH=True, USE_AUX_HEAD=True,
+        DECONV_WITH_BIAS=False, NUM_DECONV_LAYERS=3,
+        NUM_DECONV_FILTERS=[256, 256, 256], NUM_DECONV_KERNELS=[4, 4, 4],
+        FINAL_CONV_KERNEL=1, DOWN_SAMPLE=32,
+    )
+    cfg = _Cfg(
+        MODEL=_Cfg(EXTRA=extra, NUM_FACE_JOINTS=68, IMAGE_SIZE=[64, 64]),
+        FACE_DATASET=_Cfg(NEGATIVE_EXAMPLE=False),
+    )
+    torch.manual_seed(0)
+    net = ref.get_face_net(cfg, is_train=False)
+    net.eval()
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        want = net(x)
+    params = face_mobilenet_deconv_from_torch(net.state_dict())
+    got = apply_face_mobilenet_deconv(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["regress"]), want["regress"].numpy(),
+        atol=5e-4, rtol=1e-3,
+    )
+    for k in ("heatmap", "heatmap_aux"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]).transpose(0, 3, 1, 2), want[k].numpy(),
+            atol=5e-4, rtol=1e-3,
+        )
+
+
+@needs_reference
+@pytest.mark.parametrize("num_modules", [1, 2])
+def test_fan_hourglass_parity(num_modules):
+    """FAN stacked hourglass + CoordConv (face_net.py, coord_conv.py)."""
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.zoo_extra import apply_fan, fan_from_torch
+
+    # face_net imports core.coord_conv; alias a stub package for it, with
+    # the cuda() calls neutralized for CPU execution
+    import importlib.util
+
+    cc_path = os.path.join(REFERENCE_ROOT, "data_util", "face-alignment",
+                           "lib", "core", "coord_conv.py")
+    src = open(cc_path).read().replace(".cuda()", "")
+    cc = types.ModuleType("core.coord_conv")
+    exec(compile(src, cc_path, "exec"), cc.__dict__)
+    core_pkg = types.ModuleType("core")
+    core_pkg.coord_conv = cc
+    sys.modules["core"] = core_pkg
+    sys.modules["core.coord_conv"] = cc
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_face_net", os.path.join(MODELS_DIR, "face_net.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    torch.manual_seed(0)
+    net = mod.FAN(num_modules=num_modules, num_landmarks=68)
+    net.eval()
+    # the reference hard-codes CoordConv dims for 256^2 inputs
+    x = torch.randn(1, 3, 256, 256)
+    with torch.no_grad():
+        want_outs, want_bnds = net(x)
+    params = fan_from_torch(net.state_dict(), num_modules=num_modules)
+    outs, bnds = apply_fan(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        num_modules=num_modules,
+    )
+    assert len(outs) == len(want_outs)
+    for got, want in zip(outs, want_outs):
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want.numpy(),
+            atol=5e-4, rtol=1e-3,
+        )
+
+
+@needs_reference
+def test_face_mobilenet_old_parity():
+    """face_mobilenet_old.py: unsplit MobileNetV2 + funnel + flatten MLP."""
+    import torch
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.models.perception.zoo_extra import (
+        apply_face_mobilenet_old, face_mobilenet_old_from_torch,
+    )
+
+    ref = _import_ref_module("face_mobilenet_old")
+    extra = _Cfg(DOWN_SAMPLE=32, INTERMEDIATE_CHANNELS=32,
+                 USE_REGRESS_BRANCH=True, USE_HEATMAP_BRANCH=False)
+    cfg = _Cfg(MODEL=_Cfg(EXTRA=extra, NUM_FACE_JOINTS=68,
+                          IMAGE_SIZE=[64, 64]))
+    torch.manual_seed(0)
+    net = ref.get_face_net(cfg, is_train=False)
+    net.eval()
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        want = net(x).numpy()
+    params = face_mobilenet_old_from_torch(net.state_dict())
+    got = apply_face_mobilenet_old(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
+
+
+@needs_reference
 def test_u2net_odd_size_ceil_pools():
     """ceil_mode pooling path: odd spatial sizes round UP at every level."""
     import torch
