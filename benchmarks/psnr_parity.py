@@ -1,0 +1,317 @@
+"""Converged val-PSNR parity vs the PyTorch reference (BASELINE 0.1 dB).
+
+Trains the REFERENCE'S OWN modules (Decoder / AudioNet_W2L / ExpressionEnc
+imported from /root/reference/NeRFs/DFANeRF) and this framework on the SAME
+synthetic dataset with IDENTICAL initial weights, per-step frame/pixel
+batches, z values, conditioning signals and Adam schedule (fp32, CPU), then
+renders the SAME held-out frames through each framework's inference path
+and compares val PSNR. The torch side's ray-march/composite is the
+reference trainer's inline math (run_nerf_com_trainExpLater.py:853-907)
+expressed as a callable (the reference's train() is a monolith bound to a
+dataset directory, so its loss expressions are transcribed with line
+citations rather than invoked).
+
+Outputs: one JSON line + a section appended by docs/QUALITY.md regen.
+
+    python benchmarks/psnr_parity.py [n_steps] [H] [R] [S]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE = os.environ.get("DFANERF_REFERENCE", "/root/reference")
+
+
+def run(n_steps=1500, H=48, R=128, S=8, n_frames=12, log_every=100):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    sys.path.insert(0, os.path.join(REFERENCE, "NeRFs", "DFANeRF"))
+    from decoder import Decoder as TorchDecoder
+    from run_nerf_helpers import AudioNet_W2L, ExpressionEnc
+
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.compat.torch_ckpt import (
+        audionet_w2l_from_torch, decoder_from_torch, expression_enc_from_torch,
+    )
+    from dfanerf_tpu.config import RenderConfig
+    from dfanerf_tpu.core.geometry import pose_to_euler_trans
+    from dfanerf_tpu.core.posenc import et_embed
+    from dfanerf_tpu.core.rays import get_rays
+    from dfanerf_tpu.data import make_synthetic_dataset
+    from dfanerf_tpu.models import DecoderConfig
+    from dfanerf_tpu.models.encoders import (
+        apply_audionet_w2l, apply_expression_enc,
+    )
+    from dfanerf_tpu.render.fields import render_ray_batch
+    from dfanerf_tpu.train.optim import adam_init, adam_update, exp_decay_lr
+
+    ds = make_synthetic_dataset(n_frames=n_frames, H=H, W=H, n_samples_gt=64)
+    Hh, Ww, focal, cx, cy = ds.hwfcxy
+    i_train = np.asarray(ds.i_train)
+    i_val = np.asarray(ds.i_val)
+
+    # identical initial weights: torch init -> converted jax pytree
+    torch.manual_seed(0)
+    cfg = DecoderConfig()
+    rcfg = RenderConfig(n_samples=S, near=ds.near, far=ds.far)
+    tdec = TorchDecoder(z_dim=256, hidden_size=256, dim_signal=96,
+                        use_deformation_field=True)
+    taud = AudioNet_W2L()
+    texp = ExpressionEnc()
+    params = {
+        "decoder": decoder_from_torch(tdec.state_dict()),
+        "audnet": audionet_w2l_from_torch(taud.state_dict()),
+        "expnet": expression_enc_from_torch(texp.state_dict()),
+    }
+    rng = np.random.RandomState(7)
+    z_s = rng.randn(2, 256).astype(np.float32)
+    z_a = rng.randn(2, 256).astype(np.float32)
+
+    # shared per-frame quantities (deterministic; computed once in jax,
+    # consumed as numpy by both sides)
+    rays_all_o, rays_all_d = [], []
+    for i in range(n_frames):
+        ro, rd = get_rays(int(Hh), int(Ww), focal, jnp.asarray(ds.poses[i]),
+                          cx, cy)
+        rays_all_o.append(np.asarray(ro).reshape(-1, 3))
+        rays_all_d.append(np.asarray(rd).reshape(-1, 3))
+    rays_all_o = np.stack(rays_all_o)
+    rays_all_d = np.stack(rays_all_d)
+    et_all = np.asarray(et_embed(
+        pose_to_euler_trans(jnp.asarray(ds.poses)), 3))  # [N, 42]
+    z_np = np.broadcast_to(
+        np.linspace(ds.near, ds.far, S, dtype=np.float32), (R, S)).copy()
+    imgs_head = np.asarray(ds.imgs_head, np.float32) / 255.0
+    imgs_com = np.asarray(ds.imgs_com, np.float32) / 255.0
+    bc = (np.asarray(ds.bc_img, np.float32) / 255.0).reshape(-1, 3)
+
+    def batch(step):
+        b = np.random.RandomState(10_000 + step)
+        fi = int(i_train[b.randint(len(i_train))])
+        idx = b.choice(Hh * Ww, R, replace=False)
+        return dict(
+            fi=fi, idx=idx,
+            aud=np.asarray(ds.auds[fi])[None],
+            exp=np.asarray(ds.exps[fi])[None],
+            et=et_all[fi],
+            ro=rays_all_o[fi][idx], rd=rays_all_d[fi][idx],
+            ro_t=rays_all_o[0][idx], rd_t=rays_all_d[0][idx],
+            bc=bc[idx],
+            th=imgs_head[fi].reshape(-1, 3)[idx],
+            tc=imgs_com[fi].reshape(-1, 3)[idx],
+        )
+
+    # ---------------- torch side (reference modules + inline loss) --------
+
+    def t_field(pts, rd, sig, zi_s, zi_a, branch):
+        n, s = pts.shape[:2]
+        feat, sigma = tdec(
+            pts.reshape(1, -1, 3), rd.reshape(1, -1, 3),
+            torch.tensor(zi_s[None]), torch.tensor(zi_a[None]), sig, branch,
+        )
+        return feat.reshape(n, s, 3), sigma.reshape(n, s)
+
+    def t_render(d, zv):
+        """Both stacks of the reference loss (:853-907): bg-concat, sigma
+        bumps, density-ratio mix, cumprod transmittance."""
+        n = d["ro"].shape[0]
+        signal = torch.cat(
+            [taud(torch.tensor(d["aud"])), texp(torch.tensor(d["exp"]))],
+            dim=1,
+        )
+        tz = torch.tensor(np.broadcast_to(zv, (n, S)).copy())
+        pts_h = torch.tensor(d["ro"])[:, None, :] + \
+            torch.tensor(d["rd"])[:, None, :] * tz[..., None]
+        pts_t = torch.tensor(d["ro_t"])[:, None, :] + \
+            torch.tensor(d["rd_t"])[:, None, :] * tz[..., None]
+        rd_h = torch.tensor(d["rd"])[:, None, :].expand(n, S, 3)
+        rd_t = torch.tensor(d["rd_t"])[:, None, :].expand(n, S, 3)
+        feat_h, sig_h = t_field(pts_h, rd_h, [signal, None],
+                                z_s[0], z_a[0], "head")
+        feat_t, sig_t = t_field(pts_t, rd_t, torch.tensor(d["et"][None]),
+                                z_s[1], z_a[1], "torso")
+        sig_h, sig_t = F.relu(sig_h), F.relu(sig_t)
+        feat_h = torch.cat(
+            [feat_h[:, :-1], torch.tensor(d["bc"])[:, None, :]], dim=1)
+        bump = torch.zeros(n, S)
+        bump[:, -1] = 1e-6
+        sig_hh = sig_h + bump
+        sig_tc = sig_t.clone()
+        sig_tc[:, -1] = 0.0
+        sig_tc = sig_tc + bump
+
+        def weights(rd, sigma):
+            dists = tz[:, 1:] - tz[:, :-1]
+            dists = torch.cat([dists, torch.full_like(dists[:, :1], 1e10)], 1)
+            dists = dists * torch.tensor(rd).norm(dim=-1, keepdim=True)
+            alpha = 1 - torch.exp(-(F.relu(sigma) + 1e-6) * dists)
+            trans = torch.cumprod(
+                torch.cat([torch.ones(n, 1), 1 - alpha + 1e-10], 1), 1
+            )[:, :-1]
+            return alpha * trans
+
+        rgb_head = (weights(d["rd"], sig_hh)[..., None] * feat_h).sum(1)
+        ssum = sig_h + sig_tc
+        denom = ssum.clone()
+        denom[denom == 0] = 1e-4
+        cmix = (sig_h[..., None] * feat_h + sig_tc[..., None] * feat_t) \
+            / denom[..., None]
+        rgb_com = (weights(d["rd_t"], ssum)[..., None] * cmix).sum(1)
+        return rgb_head, rgb_com
+
+    opt_dec = torch.optim.Adam(tdec.parameters(), lr=5e-4)
+    opt_aud = torch.optim.Adam(taud.parameters(), lr=5e-4)
+
+    def torch_step(d, lr):
+        for opt in (opt_dec, opt_aud):
+            for g in opt.param_groups:
+                g["lr"] = lr
+        rgb_head, rgb_com = t_render(d, z_np[0])
+        loss = F.mse_loss(rgb_head, torch.tensor(d["th"])) + \
+            F.mse_loss(rgb_com, torch.tensor(d["tc"]))
+        opt_dec.zero_grad()
+        opt_aud.zero_grad()
+        loss.backward()
+        opt_dec.step()
+        opt_aud.step()
+        return float(loss)
+
+    # ---------------- jax side (this framework) ---------------------------
+
+    opt = {k: adam_init(params[k]) for k in ("decoder", "audnet", "expnet")}
+
+    def our_loss(p, d):
+        sig = jnp.concatenate([
+            apply_audionet_w2l(p["audnet"], d["aud"])[0],
+            apply_expression_enc(p["expnet"], d["exp"])[0],
+        ])
+        rgb_head, rgb_com = render_ray_batch(
+            p["decoder"], cfg, rcfg,
+            d["ro"], d["rd"], d["ro_t"], d["rd_t"],
+            jnp.asarray(z_np), sig, d["et"],
+            jnp.asarray(z_s[0]), jnp.asarray(z_a[0]),
+            jnp.asarray(z_s[1]), jnp.asarray(z_a[1]),
+            d["bc"],
+        )
+        return (jnp.mean((rgb_head - d["th"]) ** 2)
+                + jnp.mean((rgb_com - d["tc"]) ** 2))
+
+    import jax as _jax
+
+    @_jax.jit
+    def our_step(params, opt, d, lr):
+        loss, grads = _jax.value_and_grad(our_loss)(params, d)
+        new_p, new_o = dict(params), dict(opt)
+        for name in ("decoder", "audnet"):
+            new_p[name], new_o[name] = adam_update(
+                opt[name], grads[name], params[name], lr, jnp.int32(1))
+        return new_p, new_o, loss
+
+    t_losses, j_losses = [], []
+    t0 = time.time()
+    with jax.default_matmul_precision("highest"):
+        for step in range(n_steps):
+            d = batch(step)
+            lr = float(exp_decay_lr(jnp.int32(step), 5e-4, 500))
+            t_losses.append(torch_step(d, lr))
+            dj = {k: jnp.asarray(v) for k, v in d.items()
+                  if k not in ("fi", "idx")}
+            params, opt, l = our_step(params, opt, dj, jnp.float32(lr))
+            j_losses.append(float(l))
+            if step % log_every == 0:
+                print(f"[psnr_parity] step {step} torch={t_losses[-1]:.5f} "
+                      f"jax={j_losses[-1]:.5f} ({time.time() - t0:.0f}s)",
+                      file=sys.stderr, flush=True)
+
+    # ---------------- val renders through each framework ------------------
+
+    def val_psnrs():
+        chunk = 2048
+        ses_t_com, ses_j_com, ses_t_head, ses_j_head = [], [], [], []
+        with jax.default_matmul_precision("highest"), torch.no_grad():
+            for fi in i_val:
+                fi = int(fi)
+                outs_t_h, outs_t_c, outs_j_h, outs_j_c = [], [], [], []
+                for lo in range(0, Hh * Ww, chunk):
+                    sel = slice(lo, min(lo + chunk, Hh * Ww))
+                    d = dict(
+                        aud=np.asarray(ds.auds[fi])[None],
+                        exp=np.asarray(ds.exps[fi])[None],
+                        et=et_all[fi],
+                        ro=rays_all_o[fi][sel], rd=rays_all_d[fi][sel],
+                        ro_t=rays_all_o[0][sel], rd_t=rays_all_d[0][sel],
+                        bc=bc[sel],
+                    )
+                    th_, tc_ = t_render(d, z_np[0])
+                    outs_t_h.append(th_.numpy())
+                    outs_t_c.append(tc_.numpy())
+                    n = d["ro"].shape[0]
+                    sig = jnp.concatenate([
+                        apply_audionet_w2l(params["audnet"],
+                                           jnp.asarray(d["aud"]))[0],
+                        apply_expression_enc(params["expnet"],
+                                             jnp.asarray(d["exp"]))[0],
+                    ])
+                    jh, jc = render_ray_batch(
+                        params["decoder"], cfg, rcfg,
+                        jnp.asarray(d["ro"]), jnp.asarray(d["rd"]),
+                        jnp.asarray(d["ro_t"]), jnp.asarray(d["rd_t"]),
+                        jnp.asarray(np.broadcast_to(z_np[0], (n, S)).copy()),
+                        sig, jnp.asarray(d["et"]),
+                        jnp.asarray(z_s[0]), jnp.asarray(z_a[0]),
+                        jnp.asarray(z_s[1]), jnp.asarray(z_a[1]),
+                        jnp.asarray(d["bc"]),
+                    )
+                    outs_j_h.append(np.asarray(jh))
+                    outs_j_c.append(np.asarray(jc))
+                gt_h = imgs_head[fi].reshape(-1, 3)
+                gt_c = imgs_com[fi].reshape(-1, 3)
+                clip = lambda a: np.clip(np.concatenate(a), 0.0, 1.0)
+                ses_t_head.append(np.mean((clip(outs_t_h) - gt_h) ** 2))
+                ses_t_com.append(np.mean((clip(outs_t_c) - gt_c) ** 2))
+                ses_j_head.append(np.mean((clip(outs_j_h) - gt_h) ** 2))
+                ses_j_com.append(np.mean((clip(outs_j_c) - gt_c) ** 2))
+        to_psnr = lambda ses: float(-10 * np.log10(max(np.mean(ses), 1e-12)))
+        return (to_psnr(ses_t_com), to_psnr(ses_j_com),
+                to_psnr(ses_t_head), to_psnr(ses_j_head))
+
+    pt_com, pj_com, pt_head, pj_head = val_psnrs()
+    rel = [abs(a - b) / max(abs(b), 1e-12)
+           for a, b in zip(j_losses, t_losses)]
+    return {
+        "n_steps": n_steps, "H": H, "R": R, "S": S,
+        "val_psnr_torch_com": round(pt_com, 3),
+        "val_psnr_jax_com": round(pj_com, 3),
+        "val_psnr_torch_head": round(pt_head, 3),
+        "val_psnr_jax_head": round(pj_head, 3),
+        "abs_delta_com_db": round(abs(pt_com - pj_com), 4),
+        "abs_delta_head_db": round(abs(pt_head - pj_head), 4),
+        "max_rel_loss_divergence": max(rel),
+        "final_losses": [t_losses[-1], j_losses[-1]],
+        "torch_losses_every100": t_losses[::100],
+        "jax_losses_every100": j_losses[::100],
+        "seconds": round(time.time() - t0, 1),
+    }
+
+
+def main():
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
+    H = int(sys.argv[2]) if len(sys.argv) > 2 else 48
+    R = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    S = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    print(json.dumps(run(n_steps, H, R, S)))
+
+
+if __name__ == "__main__":
+    main()

@@ -146,6 +146,7 @@ def _render_kernel(
     # scratch: transmittances, accumulators
     t_head, t_com, acc_head, acc_com,
     *, n_slabs: int, ert_eps: float, bg_in_kernel: bool = True,
+    eval_head: bool = True, eval_torso: bool = True,
 ):
     t = pl.program_id(0)
     j = pl.program_id(1)
@@ -283,10 +284,15 @@ def _render_kernel(
         acc_head[:] = ah
         acc_com[:] = ac
 
+    # Single-field variants (eval_head/eval_torso static): the skipped
+    # field contributes sigma=0 / rgb=0 to both stacks — the same bounded
+    # approximation the occupancy flags already make per slab, applied at
+    # tile granularity by the caller's per-field tile classes. Each variant
+    # still has exactly ONE heavy region (the Mosaic pipelining rule).
     @pl.when(alive)
     def _slab_body():
-        sh, ch = head_eval()
-        st, ct = torso_eval()
+        sh, ch = head_eval() if eval_head else (None, None)
+        st, ct = torso_eval() if eval_torso else (None, None)
         composite(sh, ch, st, ct)
 
     @pl.when(is_last)
@@ -389,6 +395,49 @@ def tile_corner_rays(rays: jnp.ndarray, block_h: int = 16, block_w: int = 16):
     return rays.reshape(n // R_T, R_T, 3)[:, corners]
 
 
+def occupancy_flags_dynamic_z(
+    pw, branch,
+    rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    sigma_thresh: float,
+    grid_res: int = 64,
+) -> jnp.ndarray:
+    """Per-(tile, slab) occupancy flags for PER-RAY depths (the
+    hierarchical fine pass: importance-resampled z differ per ray).
+
+    Same conservative construction as conservative_occupancy, with the
+    slab z extent taken as the min/max over the tile's rays — every sample
+    of a (tile, slab) then lies in the convex hull of the tile's 4 corner
+    rays evaluated at [z_lo, z_hi], so the 8-corner AABB bounds it.
+
+    rays must be in spatial-tile order; z_vals [n, S] per-ray sorted.
+    Returns [n_tiles, n_slabs] int32.
+    """
+    n, S = z_vals.shape
+    assert S % S_SLAB == 0 and n % R_T == 0
+    n_slabs = S // S_SLAB
+    n_tiles = n // R_T
+    zt = z_vals.reshape(n_tiles, R_T, n_slabs, S_SLAB)
+    z_lo = zt.min(axis=(1, 3))  # [T, J]
+    z_hi = zt.max(axis=(1, 3))
+    o_c, d_c = tile_corner_rays(rays_o), tile_corner_rays(rays_d)
+    z_ends = jnp.stack([z_lo, z_hi], axis=-1)  # [T, J, 2]
+    # [T, J, 2, 4, 3]
+    pts = o_c[:, None, None] + d_c[:, None, None] * z_ends[..., None, None]
+    allp = pts.reshape(-1, 3)
+    lo = allp.min(0)
+    span = jnp.maximum(allp.max(0) - lo, 1e-6)
+    voxel = span / (grid_res - 1)
+    sat = _occupancy_sat(pw, branch, lo, span, grid_res, sigma_thresh)
+    ab_lo = pts.min(axis=(2, 3))
+    ab_hi = pts.max(axis=(2, 3))
+    i_lo = jnp.clip(jnp.ceil((ab_lo - lo) / voxel - 0.5).astype(jnp.int32),
+                    0, grid_res - 1)
+    i_hi = jnp.clip(jnp.floor((ab_hi - lo) / voxel + 0.5).astype(jnp.int32),
+                    0, grid_res - 1)
+    return _sat_box_any(sat, i_lo, i_hi).astype(jnp.int32)
+
+
 def conservative_occupancy(
     pw_h, pw_t,
     rays_o, rays_d, rays_o_t, rays_d_t,
@@ -474,6 +523,7 @@ def fused_render_rays(
     ert_eps: float = 0.0,
     occupancy: "jnp.ndarray" = None,
     bg_epilogue: bool = False,
+    fields: str = "both",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render n rays through both packed fields with the fused kernel.
 
@@ -489,6 +539,12 @@ def fused_render_rays(
             every tile — with occupancy flags this removes the dominant
             fixed cost (one full slab = 1/n_slabs of the whole frame). The
             epilogue costs two S-times-smaller single-point field passes.
+        fields: 'both' (default), 'head' or 'torso' — single-field
+            variants treat the other field as sigma=0/rgb=0 in BOTH
+            stacks. Used by the renderer's per-field tile classes: a tile
+            whose torso flags are all clear wastes nothing on torso
+            evaluation (and vice versa), at the same bounded error the
+            slab flags already carry.
     Returns:
         rgb_head [n, 3], rgb_com [n, 3] (fp32).
     """
@@ -622,7 +678,9 @@ def fused_render_rays(
     )
     out = pl.pallas_call(
         functools.partial(_render_kernel, n_slabs=n_slabs, ert_eps=ert_eps,
-                          bg_in_kernel=not bg_epilogue),
+                          bg_in_kernel=not bg_epilogue,
+                          eval_head=fields in ("both", "head"),
+                          eval_torso=fields in ("both", "torso")),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
@@ -679,6 +737,125 @@ def _bg_epilogue(pw_h, pw_t, rays_o, rays_d, rays_o_t, rays_d_t, z_vals,
     alpha_c = 1.0 - jnp.exp(-(ssum + 1e-6) * dt_l)
     com = acc_com + (alpha_c * t_com) * c_mix
     return head, com
+
+
+# ---------------------------------------------------------------------------
+# Sigma-only head kernel — the COARSE pass of the hierarchical path: one
+# trunk forward per sample, densities written to HBM [n, S] (they become
+# importance weights via core.compositing), with occupancy flags skipping
+# empty slabs (sigma := 0 there — the same bounded approximation the render
+# kernels make; zero density = zero importance weight).
+# ---------------------------------------------------------------------------
+
+
+def _sigma_kernel(
+    occ_ref, z_ref, o_ref, d_ref, freq_ref, phase_ref,
+    hw_in, hb_in, hw_blocks, hb_blocks, hw_skip, hb_skip, hw_sf, hb_sf,
+    out_ref,
+):
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+
+    def trunk(pe_bf):
+        h = jnp.maximum(_mm(pe_bf, hw_in[:]) + hb_in[:], 0.0).astype(jnp.bfloat16)
+        for i in range(7):
+            h = jnp.maximum(_mm(h, hw_blocks[i]) + hb_blocks[i], 0.0)
+            if i == 3:
+                h = h + _mm(pe_bf, hw_skip[:]) + hb_skip[:]
+            h = h.astype(jnp.bfloat16)
+        return _mm(h, hw_sf[:]) + hb_sf[:]
+
+    @pl.when(occ_ref[t, j] != 0)
+    def _body():
+        o = o_ref[:]
+        d = d_ref[:]
+        freq = freq_ref[:]
+        ph = phase_ref[:]
+        encs = []
+        for s in range(S_SLAB):
+            pts = o + d * z_ref[0, 0, s]
+            encs.append(jnp.sin(pts * freq + ph))
+        pe = jnp.concatenate(encs, axis=0).astype(jnp.bfloat16)
+        sigma = jnp.maximum(trunk(pe)[:, 0:1], 0.0)  # [rows, 1]
+        out_ref[:] = sigma.reshape(S_SLAB, R_T).T
+
+    @pl.when(occ_ref[t, j] == 0)
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+
+def fused_sigma_head(
+    packed_h: Dict[str, jnp.ndarray],
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    interpret: bool = False,
+    occupancy: "jnp.ndarray" = None,
+) -> jnp.ndarray:
+    """Density-only head forward: rays [n, 3], z_vals [S] shared ->
+    sigma [n, S] fp32 (relu'd). Occupancy flags [T, J] zero whole slabs."""
+    n = rays_o.shape[0]
+    S = z_vals.shape[0]
+    assert S % S_SLAB == 0
+    n_slabs = S // S_SLAB
+    n_tiles = -(-n // R_T)
+    n_pad = n_tiles * R_T
+
+    def padded(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)], axis=0
+        )
+
+    rays_o, rays_d = padded(rays_o), padded(rays_d)
+    coord_idx = jnp.arange(PE_PAD) % 3
+    slot_valid = (jnp.arange(PE_PAD) < 60).astype(jnp.float32)
+
+    def replicate(r):
+        return (r[:, coord_idx] * slot_valid).astype(jnp.float32)
+
+    o_r, d_r = replicate(rays_o), replicate(rays_d)
+    freqs = (jnp.pi * (2.0 ** (jnp.arange(PE_PAD) // 6)) / 2.0) * slot_valid
+    phase = jnp.where((jnp.arange(PE_PAD) % 6) >= 3, jnp.pi / 2.0, 0.0) * slot_valid
+    z_rows = jnp.zeros((n_slabs, 8, 128), jnp.float32).at[:, 0, :S_SLAB].set(
+        z_vals.astype(jnp.float32).reshape(n_slabs, S_SLAB)
+    )
+    if occupancy is None:
+        occupancy = jnp.ones((n_tiles, n_slabs), jnp.int32)
+
+    hw = packed_h
+    weight_ops = [
+        hw["w_in"], hw["b_in"][None], hw["w_blocks"], hw["b_blocks"],
+        hw["w_skip"], hw["b_skip"][None], hw["w_sf"], hw["b_sf"][None],
+    ]
+    weight_specs = [_full(op.shape) for op in weight_ops]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, n_slabs),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda t, j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_T, PE_PAD), lambda t, j, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_T, PE_PAD), lambda t, j, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PE_PAD), lambda t, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PE_PAD), lambda t, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + weight_specs,
+        out_specs=pl.BlockSpec(
+            (R_T, S_SLAB), lambda t, j, *_: (t, j), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        _sigma_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, S), jnp.float32),
+        interpret=interpret,
+    )(occupancy.astype(jnp.int32), z_rows, o_r, d_r,
+      freqs[None].astype(jnp.float32), phase[None].astype(jnp.float32),
+      *weight_ops)
+    return out[:n]
 
 
 # ---------------------------------------------------------------------------

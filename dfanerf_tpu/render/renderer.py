@@ -146,19 +146,32 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
 
             return render_frame_occ_plain
 
-        # --- occupancy serving path: flags -> tile compaction -> kernel ---
-        # The kernel pays a fixed per-grid-step cost even for fully skipped
-        # slabs; compacting the grid to just the occupied tiles (bg-only
-        # tiles need nothing but the per-ray bg epilogue) removes it. The
-        # occupied-tile count is data-dependent, so the caller picks a
-        # static bucket K per frame from a one-scalar host sync.
+        # --- occupancy serving path: per-field tile classes ---------------
+        # The per-field flags partition the frame's tiles into four classes:
+        #   both   — head AND torso occupied somewhere: two-field kernel
+        #   head   — only the head field occupied: head-only kernel variant
+        #   torso  — only the torso field occupied: torso-only variant
+        #   none   — background-only: just the per-ray bg epilogue
+        # Head and torso occupy mostly DISJOINT screen regions (the head
+        # sits above the torso), so the joint-flag formulation wastes ~2x
+        # evaluating both fields wherever either is present; the class
+        # split removes that while each kernel variant keeps exactly ONE
+        # heavy Mosaic region (per-field pl.when regions measured 1.7x
+        # slower — see ops/fused_render.py).
         #
-        # The tile gather, the Pallas kernel, and the bg-epilogue + scatter
-        # each run as a SEPARATE jit program: composing them into one XLA
-        # program trips a TPU runtime kernel fault on this toolchain even
-        # though the kernel program alone is clean at every grid size.
-        # Intermediates stay on device across the jit boundaries, so the
-        # split costs only a few extra dispatches per frame.
+        # The tile gather, each Pallas kernel, and the bg-epilogue +
+        # scatter run as SEPARATE jit programs: composing a gather with
+        # the kernel in one XLA program trips a TPU runtime kernel fault
+        # on this toolchain even though the kernel alone is clean at every
+        # grid size. Intermediates stay on device across the jit
+        # boundaries, so the split costs only a few extra dispatches.
+        #
+        # Class sizes are data-dependent; the host sync (~27 KB of flags,
+        # every occ_refresh_every frames) buckets each to a static K.
+        # Segment padding borrows only tiles a variant handles correctly:
+        # the both-segment can absorb any tile; head/torso segments absorb
+        # none-tiles with all-zero flags (skipped entirely, grid overhead
+        # only).
         T = len(perm) // R_T
 
         @jax.jit
@@ -168,64 +181,146 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
                                 signal, signal_torso, bc_img)
 
         @jax.jit
-        def occ_joint_fn(inputs):
+        def occ_pf_fn(inputs):
             pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
             return conservative_occupancy(
                 pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c,
                 rcfg.occ_sigma_thresh, grid_res=rcfg.occ_grid_res,
-            ).max(axis=0)  # joint [T, J]
+            )  # per-field [2, T, J]
 
-        def make_parts(K):
+        def _tiles(x, idx):
+            return x.reshape(T, R_T, -1)[idx].reshape(-1, x.shape[-1])
+
+        gather_cache = {}
+
+        def make_gather(ks):
             @jax.jit
             def gather_k(inputs, order):
-                # order [T] (occupied tiles first) arrives CONCRETE from
-                # the host sync; the gather runs in its own XLA program
                 pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
-                sel, rest = order[:K], order[K:]
+                segs, lo = [], 0
+                for k in ks + (T - sum(ks),):
+                    sel = jax.lax.dynamic_slice_in_dim(order, lo, k)
+                    lo += k
+                    segs.append([_tiles(x, sel)
+                                 for x in (ro, rd, ro_t, rd_t, bc_p)])
+                return segs
 
-                def tiles(x, idx):
-                    return x.reshape(T, R_T, -1)[idx].reshape(-1, x.shape[-1])
+            return gather_k
 
-                return ([tiles(x, sel) for x in (ro, rd, ro_t, rd_t, bc_p)],
-                        [tiles(x, rest) for x in (ro, rd, ro_t, rd_t, bc_p)])
+        kernel_cache = {}
 
+        def make_kernel(k, fields):
             @jax.jit
             def kernel_k(pw_h, pw_t, ro, rd, ro_t, rd_t, bc, occ_sel):
-                # the Pallas program, alone in its jit (the known-good
-                # standalone shape)
                 return fused_render_rays(
                     pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c, bc,
                     last_dist=rcfg.last_dist, ert_eps=rcfg.ert_eps,
-                    occupancy=occ_sel, bg_epilogue=True,
+                    occupancy=occ_sel, bg_epilogue=True, fields=fields,
                 )
 
+            return kernel_k
+
+        scatter_cache = {}
+
+        def make_scatter(ks):
+            n_rest = (T - sum(ks)) * R_T
+
             @jax.jit
-            def scatter_k(pw_h, pw_t, rest, h_c, c_c, order):
-                # background-only tiles: nothing reaches the kernel — their
-                # whole render IS the bg catch-all sample (t=1, acc=0)
+            def scatter_k(pw_h, pw_t, rest, outs, order):
                 ro, rd, ro_t, rd_t, bc = rest
-                n_rest = (T - K) * R_T
                 h_r, c_r = _bg_epilogue(
                     pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c, bc,
                     rcfg.last_dist,
                     jnp.zeros((n_rest, 3)), jnp.zeros((n_rest, 3)),
                     jnp.ones((n_rest, 1)), jnp.ones((n_rest, 1)),
                 )
+                hs = [h for h, _ in outs] + [h_r]
+                cs = [c for _, c in outs] + [c_r]
                 head = jnp.zeros((T, R_T, 3)).at[order].set(
-                    jnp.concatenate([h_c.reshape(K, R_T, 3),
-                                     h_r.reshape(T - K, R_T, 3)])
+                    jnp.concatenate(hs).reshape(T, R_T, 3)
                 ).reshape(-1, 3)
                 com = jnp.zeros((T, R_T, 3)).at[order].set(
-                    jnp.concatenate([c_c.reshape(K, R_T, 3),
-                                     c_r.reshape(T - K, R_T, 3)])
+                    jnp.concatenate(cs).reshape(T, R_T, 3)
                 ).reshape(-1, 3)
                 return unpermute(head, com)
 
-            return gather_k, kernel_k, scatter_k
+            return scatter_k
 
-        buckets = [k for k in (64, 128, 256, 512) if k < T] + [T]
-        parts_cache = {}
-        cache = {"order": None, "K": None, "occ_sel": None, "age": 0}
+        buckets = [k for k in (0, 64, 128, 256, 384, 512, 768) if k < T] + [T]
+
+        def bucket(n):
+            return next(k for k in buckets if k >= n)
+
+        cache = {"order": None, "ks": None, "occs": None, "age": 0}
+        import os as _os
+
+        def refresh_flags(inputs):
+            occ_np = np.asarray(occ_pf_fn(inputs))  # [2, T, J]
+            th = occ_np[0].max(axis=1) > 0
+            tt = occ_np[1].max(axis=1) > 0
+            idx_both = np.nonzero(th & tt)[0]
+            idx_head = np.nonzero(th & ~tt)[0]
+            idx_torso = np.nonzero(tt & ~th)[0]
+            idx_none = np.nonzero(~th & ~tt)[0]
+            if _os.environ.get("DFANERF_DEBUG_COMPACTION"):
+                print(f"[classes] T={T} both={len(idx_both)} "
+                      f"head={len(idx_head)} torso={len(idx_torso)} "
+                      f"none={len(idx_none)} "
+                      f"head_dens={occ_np[0].mean():.4f} "
+                      f"torso_dens={occ_np[1].mean():.4f}", flush=True)
+            # bucket each class; borrow padding tiles (both <- head/torso/
+            # none; head/torso <- none, with zeroed flags)
+            pool = [list(idx_head), list(idx_torso), list(idx_none)]
+            kb = min(bucket(len(idx_both)), T)
+            seg_b = list(idx_both)
+            borrowed_b = []
+            for p in pool:
+                while len(seg_b) + len(borrowed_b) < kb and p:
+                    borrowed_b.append(p.pop())
+            kb = len(seg_b) + len(borrowed_b)
+            idx_head, idx_torso, idx_none = (np.array(p, np.int64)
+                                             for p in pool)
+
+            def pad_from_none(seg, none_list):
+                k = min(bucket(len(seg)), T)
+                pad = []
+                while len(seg) + len(pad) < k and none_list:
+                    pad.append(none_list.pop())
+                return list(seg), pad
+
+            none_list = list(idx_none)
+            seg_h, pad_h = pad_from_none(idx_head, none_list)
+            seg_t, pad_t = pad_from_none(idx_torso, none_list)
+            kh, kt = len(seg_h) + len(pad_h), len(seg_t) + len(pad_t)
+
+            def seg_flags(tiles_main, tiles_pad, fl):
+                f = np.zeros((len(tiles_main) + len(tiles_pad),
+                              occ_np.shape[2]), np.int32)
+                if tiles_main:
+                    f[:len(tiles_main)] = fl[np.array(tiles_main, np.int64)]
+                return f
+
+            joint = occ_np.max(axis=0)
+            order = np.concatenate([
+                np.array(seg_b + borrowed_b, np.int64),
+                np.array(seg_h + pad_h, np.int64),
+                np.array(seg_t + pad_t, np.int64),
+                np.array(none_list, np.int64),
+            ]).astype(np.int32)
+            occs = (
+                jnp.asarray(np.concatenate([
+                    joint[np.array(seg_b, np.int64)] if seg_b else
+                    np.zeros((0, occ_np.shape[2]), np.int32),
+                    # borrowed tiles keep their own joint flags (the both
+                    # kernel handles any class correctly)
+                    joint[np.array(borrowed_b, np.int64)] if borrowed_b
+                    else np.zeros((0, occ_np.shape[2]), np.int32),
+                ]).astype(np.int32)) if kb else None,
+                jnp.asarray(seg_flags(seg_h, pad_h, occ_np[0])) if kh else None,
+                jnp.asarray(seg_flags(seg_t, pad_t, occ_np[1])) if kt else None,
+            )
+            cache.update(order=jnp.asarray(order), ks=(kb, kh, kt),
+                         occs=occs, age=0)
 
         def render_frame_occ(params, z_shape, z_app, pose, pose_torso,
                              signal, signal_torso, bc_img):
@@ -233,28 +328,26 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
                                signal, signal_torso, bc_img)
             if (cache["order"] is None
                     or cache["age"] >= max(rcfg.occ_refresh_every, 1)):
-                # host sync (~27 KB): pick the bucket and fix the tile
-                # order so the kernel's scalar-prefetch flags are concrete
-                occ_np = np.asarray(occ_joint_fn(inputs))
-                tile_on = occ_np.max(axis=1)
-                count = int((tile_on > 0).sum())
-                K = next(k for k in buckets if k >= count)
-                import os as _os
-                if _os.environ.get("DFANERF_DEBUG_COMPACTION"):
-                    print(f"[compaction] T={T} occupied={count} K={K} "
-                          f"slab_density={occ_np.mean():.4f}", flush=True)
-                order = np.argsort(-tile_on, kind="stable").astype(np.int32)
-                cache.update(order=jnp.asarray(order), K=K,
-                             occ_sel=jnp.asarray(occ_np[order[:K]]), age=0)
+                refresh_flags(inputs)
             cache["age"] += 1
-            K = cache["K"]
-            if K not in parts_cache:
-                parts_cache[K] = make_parts(K)
-            gather_k, kernel_k, scatter_k = parts_cache[K]
+            ks = cache["ks"]
+            if ks not in gather_cache:
+                gather_cache[ks] = make_gather(ks)
+                scatter_cache[ks] = make_scatter(ks)
+            segs = gather_cache[ks](inputs, cache["order"])
             pw_h, pw_t = inputs[0], inputs[1]
-            sel, rest = gather_k(inputs, cache["order"])
-            h_c, c_c = kernel_k(pw_h, pw_t, *sel, cache["occ_sel"])
-            return scatter_k(pw_h, pw_t, rest, h_c, c_c, cache["order"])
+            outs = []
+            for k, fields, seg, occ_sel in zip(
+                    ks, ("both", "head", "torso"), segs[:3], cache["occs"]):
+                if k == 0:
+                    outs.append((jnp.zeros((0, 3)), jnp.zeros((0, 3))))
+                    continue
+                ck = (k, fields)
+                if ck not in kernel_cache:
+                    kernel_cache[ck] = make_kernel(k, fields)
+                outs.append(kernel_cache[ck](pw_h, pw_t, *seg, occ_sel))
+            return scatter_cache[ks](pw_h, pw_t, segs[3], outs,
+                                     cache["order"])
 
         return render_frame_occ
 

@@ -47,12 +47,16 @@ def dataset_to_device(ds: FrameDataset, sharding=None,
         "poses": put(jnp.asarray(ds.poses)),
         "auds": put(jnp.asarray(ds.auds)),
         "exps": put(jnp.asarray(ds.exps)),
-        "imgs_head": put(jnp.asarray(ds.imgs_head)),
-        "imgs_com": put(jnp.asarray(ds.imgs_com)),
         "bc_img": put(jnp.asarray(ds.bc_img)),
-        "rects": put(jnp.asarray(ds.sample_rects)),
         "i_train": put(jnp.asarray(i_train)),
     }
+    # Test-file (driving) datasets carry no targets or rects
+    # (load_audface.py:14-47 loads only poses/auds in test mode); render
+    # paths never touch these keys, so omit rather than fabricate them.
+    for key, val in (("imgs_head", ds.imgs_head), ("imgs_com", ds.imgs_com),
+                     ("rects", ds.sample_rects)):
+        if val is not None:
+            data[key] = put(jnp.asarray(val))
     if ds.speak_frames is not None:
         data["speak_frames"] = put(jnp.asarray(ds.speak_frames, jnp.int32))
     return data
