@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REFERENCE = os.environ.get("DFANERF_REFERENCE", "/root/reference")
 
 
-def run(n_steps=1500, H=48, R=128, S=8, n_frames=12, log_every=100):
+def run(n_steps=1500, H=48, R=128, S=8, n_frames=12, log_every=100,
+        eval_every=250, eval_from=0.5):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -218,22 +219,6 @@ def run(n_steps=1500, H=48, R=128, S=8, n_frames=12, log_every=100):
                 opt[name], grads[name], params[name], lr, jnp.int32(1))
         return new_p, new_o, loss
 
-    t_losses, j_losses = [], []
-    t0 = time.time()
-    with jax.default_matmul_precision("highest"):
-        for step in range(n_steps):
-            d = batch(step)
-            lr = float(exp_decay_lr(jnp.int32(step), 5e-4, 500))
-            t_losses.append(torch_step(d, lr))
-            dj = {k: jnp.asarray(v) for k, v in d.items()
-                  if k not in ("fi", "idx")}
-            params, opt, l = our_step(params, opt, dj, jnp.float32(lr))
-            j_losses.append(float(l))
-            if step % log_every == 0:
-                print(f"[psnr_parity] step {step} torch={t_losses[-1]:.5f} "
-                      f"jax={j_losses[-1]:.5f} ({time.time() - t0:.0f}s)",
-                      file=sys.stderr, flush=True)
-
     # ---------------- val renders through each framework ------------------
 
     def val_psnrs():
@@ -286,17 +271,57 @@ def run(n_steps=1500, H=48, R=128, S=8, n_frames=12, log_every=100):
         return (to_psnr(ses_t_com), to_psnr(ses_j_com),
                 to_psnr(ses_t_head), to_psnr(ses_j_head))
 
-    pt_com, pj_com, pt_head, pj_head = val_psnrs()
+    # ---------------- training -------------------------------------------
+    # The shipped decay (0.1^(step/(500*1500))) is calibrated for 600k
+    # steps and is a no-op over a few thousand; at constant lr=5e-4 the
+    # late-phase loss oscillates ~2x step to step and a single end-point
+    # val PSNR is noise. Compress the SAME exponential shape so lr decays
+    # 10x across this run (identical on both sides — the comparison is
+    # framework-vs-framework, not vs the 600k wall-clock schedule), and
+    # average val PSNR over a trailing eval window.
+    t_losses, j_losses = [], []
+    evals = []  # (step, pt_com, pj_com, pt_head, pj_head)
+    t0 = time.time()
+    with jax.default_matmul_precision("highest"):
+        for step in range(n_steps):
+            d = batch(step)
+            lr = 5e-4 * 0.1 ** (step / n_steps)
+            t_losses.append(torch_step(d, lr))
+            dj = {k: jnp.asarray(v) for k, v in d.items()
+                  if k not in ("fi", "idx")}
+            params, opt, l = our_step(params, opt, dj, jnp.float32(lr))
+            j_losses.append(float(l))
+            if step % log_every == 0:
+                print(f"[psnr_parity] step {step} torch={t_losses[-1]:.5f} "
+                      f"jax={j_losses[-1]:.5f} ({time.time() - t0:.0f}s)",
+                      file=sys.stderr, flush=True)
+            if (step + 1) % eval_every == 0 and step >= eval_from * n_steps:
+                ev = val_psnrs()
+                evals.append((step + 1,) + ev)
+                print(f"[psnr_parity] eval step {step + 1} "
+                      f"com torch={ev[0]:.2f} jax={ev[1]:.2f} "
+                      f"head torch={ev[2]:.2f} jax={ev[3]:.2f}",
+                      file=sys.stderr, flush=True)
+
+    if not evals:
+        evals.append((n_steps,) + val_psnrs())
+    ev = np.asarray([e[1:] for e in evals], np.float64)
+    pt_com, pj_com, pt_head, pj_head = ev.mean(axis=0)
     rel = [abs(a - b) / max(abs(b), 1e-12)
            for a, b in zip(j_losses, t_losses)]
     return {
         "n_steps": n_steps, "H": H, "R": R, "S": S,
+        # trailing-window means (the parity claim) + per-eval detail
         "val_psnr_torch_com": round(pt_com, 3),
         "val_psnr_jax_com": round(pj_com, 3),
         "val_psnr_torch_head": round(pt_head, 3),
         "val_psnr_jax_head": round(pj_head, 3),
         "abs_delta_com_db": round(abs(pt_com - pj_com), 4),
         "abs_delta_head_db": round(abs(pt_head - pj_head), 4),
+        "eval_window": [[int(e[0])] + [round(v, 3) for v in e[1:]]
+                        for e in evals],
+        "eval_std_com": [round(float(ev[:, 0].std()), 3),
+                         round(float(ev[:, 1].std()), 3)],
         "max_rel_loss_divergence": max(rel),
         "final_losses": [t_losses[-1], j_losses[-1]],
         "torch_losses_every100": t_losses[::100],

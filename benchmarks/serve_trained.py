@@ -143,7 +143,8 @@ def run(n_train=4000, occ_thresh=0.5, bake_steps=800, bake_lambda=5e-4):
     _log(f"baked in {bake_s:.0f}s; eval psnr...")
     psnr_baked, psnr_head_baked = val_psnr(cfg0, ds, state, data)
 
-    # serving: no-skip baseline vs ERT + occupancy on the SAME weights
+    # serving: no-skip baseline vs the pair-compacted occupancy path on
+    # the SAME weights
     _log("bench noskip...")
     frame0 = make_frame_fn(cfg0, ds, state, data)
     fps_noskip, fps_noskip_max = bench_fps(frame0)
@@ -152,19 +153,22 @@ def run(n_train=4000, occ_thresh=0.5, bake_steps=800, bake_lambda=5e-4):
     cfg1 = ExperimentConfig(
         render=RenderConfig(**base, ert_eps=1e-4, spatial_tiles=True,
                             occ_sigma_thresh=occ_thresh, occ_grid_res=48,
-                            occ_refresh_every=4, occ_tile_compaction=True),
+                            occ_refresh_every=8, occ_pair_compaction=True),
         train=cfg0.train,
     )
     _log(f"noskip {fps_noskip:.2f} fps; bench skip...")
     frame1 = make_frame_fn(cfg1, ds, state, data)
     fps_skip, fps_skip_max = bench_fps(frame1)
     # skip-lever error on THIS trained scene, across several frames (each
-    # frame = a different conditioning signal; flags refresh every 4 frames
-    # so frames 1-3 also measure the stale-flag error)
-    errs = [float(jnp.abs(frame1(i) - frame0(i)).max()) for i in range(6)]
+    # frame = a different conditioning signal; flags refresh every 8 frames
+    # so later frames also measure the stale-flag error)
+    errs = [float(jnp.abs(frame1(i) - frame0(i)).max()) for i in range(8)]
     max_err = max(errs)
     occ_frac, head_psnr_vs_bg = scene_diagnostics(cfg0, ds, state, data,
                                                   occ_thresh, frame0)
+
+    _log(f"skip {fps_skip:.2f} fps err {max_err:.4f}; bench hierarchical...")
+    hier = hierarchical_fps(ds, state, data, occ_thresh)
 
     return {
         "metric": "450p trained+baked serving fps (fused kernel, ERT+occupancy)",
@@ -196,7 +200,58 @@ def run(n_train=4000, occ_thresh=0.5, bake_steps=800, bake_lambda=5e-4):
             # carried entirely by the per-ray catch-all sample)
             "occ_flag_density": occ_frac,
             "head_render_vs_bg_psnr": head_psnr_vs_bg,
+            # BASELINE config 2 on the SAME trained+baked weights:
+            # head-only hierarchical 64 coarse (sigma-only kernel) + 128
+            # fine (per-ray-z kernel), occupancy on both passes + ERT
+            "hierarchical_64p128_fps": hier["fps"],
+            "hierarchical_64p128_fps_max": hier["fps_max"],
+            "hierarchical_noskip_fps": hier["fps_noskip"],
+            "hierarchical_max_err_vs_noskip": hier["max_err"],
         },
+    }
+
+
+def hierarchical_fps(ds, state, data, occ_thresh):
+    """BASELINE config 2 measured on the trained+baked state: 450p
+    head-only coarse+fine (64+128) through the fused sigma + per-ray-z
+    kernels, with and without occupancy/ERT."""
+    from dfanerf_tpu.render.renderer import make_head_hierarchical_renderer
+
+    def make(thresh, ert):
+        cfg = ExperimentConfig(
+            render=RenderConfig(
+                n_samples=64, n_importance=128, compute_dtype="bfloat16",
+                use_fused_kernel=True, ert_eps=ert,
+                occ_sigma_thresh=thresh, occ_grid_res=48,
+            ),
+        )
+        render = make_head_hierarchical_renderer(cfg, ds.hwfcxy, ds.near,
+                                                 ds.far)
+        frame = make_frame_fn(cfg, ds, state, data)
+
+        def hframe(i):
+            sig, _ = frame.sig_fn(state["params"], jnp.int32(i % ds.n_frames))
+            return render(state["params"], state["z_shape"], state["z_app"],
+                          data["poses"][i % ds.n_frames], sig,
+                          data["bc_img"])
+
+        return hframe
+
+    h_skip = make(occ_thresh, 1e-4)
+    h_noskip = make(0.0, 0.0)
+    fps, fps_max = bench_fps(h_skip, n=8, passes=3)
+    t0 = time.time()
+    h_noskip(0).block_until_ready()
+    n = 4
+    t0 = time.time()
+    for i in range(n):
+        out = h_noskip(i)
+    out.block_until_ready()
+    fps_noskip = n / (time.time() - t0)
+    errs = [float(jnp.abs(h_skip(i) - h_noskip(i)).max()) for i in range(3)]
+    return {
+        "fps": round(fps, 3), "fps_max": round(fps_max, 3),
+        "fps_noskip": round(fps_noskip, 3), "max_err": round(max(errs), 5),
     }
 
 

@@ -67,6 +67,21 @@ class RenderConfig:
     spatial_tiles: bool = False  # map 16x16 pixel blocks to kernel ray tiles
     # (pays only when ERT/occupancy can skip solid blocks; costs ~6% ray
     # padding otherwise, so off unless serving a converged sparse model)
+    occ_pair_compaction: bool = False  # the serving fast path: the kernel
+    # grid is EXACTLY the occupied (tile, slab) pairs of each field
+    # (scalar-prefetched index lists, bucketed to a static K from a host
+    # sync at flag refreshes), compositing deferred to a plain-XLA pass
+    # over the dense per-sample buffers (ops/fused_render.py
+    # pair_field_eval / deferred_composite). Strictly finer-grained than
+    # occ_tile_compaction (no per-slab predication overhead, no whole-tile
+    # bucketing waste); takes precedence over it when both are set.
+    occ_union_window: bool = True  # conservative flags for a refresh
+    # window: at each refresh the flags are the UNION over the window's
+    # (pose, signal) pairs, so stale-flag error within the window is
+    # bounded by the same per-frame conservatism instead of growing with
+    # camera/signal motion. Offline rendering knows the window's frames;
+    # live serving should instead dilate (occ_grid dilation already gives
+    # one voxel).
 
 
 @dataclasses.dataclass(frozen=True)

@@ -146,6 +146,10 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
 
             return render_frame_occ_plain
 
+        if rcfg.occ_pair_compaction:
+            return _make_pair_compaction_renderer(
+                cfg, rcfg, perm, z_vals_c, frame_inputs, unpermute)
+
         # --- occupancy serving path: per-field tile classes ---------------
         # The per-field flags partition the frame's tiles into four classes:
         #   both   — head AND torso occupied somewhere: two-field kernel
@@ -394,6 +398,124 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
     return render_frame
 
 
+def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
+                                   unpermute):
+    """The (tile, slab)-pair-compacted serving path.
+
+    Per frame: each field's Pallas kernel runs a grid of EXACTLY its
+    occupied (tile, slab) pairs (bucketed to a static K at flag refreshes)
+    and writes per-sample (sigma, rgb) to a dense buffer; one XLA program
+    then composites both buffers + the bg catch-all epilogue. Compared to
+    the tile-class path this wastes nothing on predicated-off slabs or on
+    whole-tile bucket padding — the work is proportional to the occupied
+    pair count (~8% of the no-skip evaluation on the baked benchmark
+    scene).
+
+    Three jit-program classes per frame (inputs prep, the two kernels, the
+    composite) — the kernels stay alone in their programs per the
+    composed-program kernel-fault rule (see occ_tile_compaction notes).
+
+    Refreshes every occ_refresh_every frames re-sync ~27 KB of flags to
+    the host to rebuild the concrete pair lists. ``render.refresh_union``
+    can be called with a list of already-prepped frame inputs to make the
+    flags the UNION over a window of (pose, signal) pairs — exactly
+    conservative for every frame in the window (offline rendering knows
+    its window; live serving relies on the occupancy grid's dilation
+    margin instead).
+    """
+    import numpy as np
+
+    from dfanerf_tpu.ops.fused_render import (
+        R_T, S_SLAB, _bg_epilogue, conservative_occupancy,
+        deferred_composite, pair_field_eval,
+    )
+
+    T = len(perm) // R_T
+    J = rcfg.n_samples // S_SLAB
+
+    inputs_fn = jax.jit(frame_inputs)
+
+    @jax.jit
+    def occ_fn(inputs):
+        pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
+        return conservative_occupancy(
+            pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c,
+            rcfg.occ_sigma_thresh, grid_res=rcfg.occ_grid_res,
+        )  # [2, T, J]
+
+    kernel_cache = {}
+
+    def make_kernel(branch):
+        @jax.jit
+        def kern(pw, ro, rd, t_idx, j_idx):
+            return pair_field_eval(pw, branch, ro, rd, z_vals_c,
+                                   t_idx, j_idx)
+
+        return kern
+
+    @jax.jit
+    def composite_fn(inputs, buf_h, buf_t, occ):
+        pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
+        ah, ac, t_h, t_c = deferred_composite(
+            buf_h, buf_t, occ, rd, rd_t, z_vals_c)
+        head, com = _bg_epilogue(
+            pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c, bc_p,
+            rcfg.last_dist, ah, ac, t_h, t_c)
+        return unpermute(head, com)
+
+    buckets = [0, 128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, T * J]
+
+    def bucket(c):
+        return next(b for b in buckets if b >= c)
+
+    cache = {"age": 0, "lists": None, "occ": None}
+
+    def set_flags(occ):
+        occ_np = np.asarray(occ)
+        lists = []
+        for f in range(2):
+            t_i, j_i = np.nonzero(occ_np[f])
+            order = np.lexsort((j_i, t_i))  # tile-major: consecutive pairs
+            # of one tile reuse the same ray blocks without a re-fetch
+            t_i, j_i = t_i[order], j_i[order]
+            pad = bucket(len(t_i)) - len(t_i)
+            t_i = np.concatenate([t_i, np.full(pad, T)]).astype(np.int32)
+            j_i = np.concatenate([j_i, np.zeros(pad)]).astype(np.int32)
+            lists.append((jnp.asarray(t_i), jnp.asarray(j_i)))
+        cache.update(age=0, lists=lists, occ=jnp.asarray(occ_np))
+
+    def refresh_union(window_inputs):
+        """Union flags over a window of prepped frame inputs (each an
+        inputs_fn result); exactly conservative for every window frame."""
+        occ = occ_fn(window_inputs[0])
+        for inp in window_inputs[1:]:
+            occ = jnp.maximum(occ, occ_fn(inp))
+        set_flags(occ)
+
+    def render(params, z_shape, z_app, pose, pose_torso, signal,
+               signal_torso, bc_img):
+        inputs = inputs_fn(params, z_shape, z_app, pose, pose_torso,
+                           signal, signal_torso, bc_img)
+        if (cache["lists"] is None
+                or cache["age"] >= max(rcfg.occ_refresh_every, 1)):
+            set_flags(occ_fn(inputs))
+        cache["age"] += 1
+        pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
+        bufs = []
+        for pw, o, d, branch, (ti, ji) in (
+                (pw_h, ro, rd, "head", cache["lists"][0]),
+                (pw_t, ro_t, rd_t, "torso", cache["lists"][1])):
+            ck = (int(ti.shape[0]), branch)
+            if ck not in kernel_cache:
+                kernel_cache[ck] = make_kernel(branch)
+            bufs.append(kernel_cache[ck](pw, o, d, ti, ji))
+        return composite_fn(inputs, bufs[0], bufs[1], cache["occ"])
+
+    render.inputs_fn = inputs_fn
+    render.refresh_union = refresh_union
+    return render
+
+
 def make_head_hierarchical_renderer(
     cfg: ExperimentConfig, hwfcxy, near: float, far: float
 ):
@@ -418,63 +540,98 @@ def make_head_hierarchical_renderer(
         from dfanerf_tpu.core.sampling import hierarchical_z_vals
         from dfanerf_tpu.ops.fused_render import (
             fused_render_head,
-            packed_sigma_xla,
+            fused_sigma_head,
+            occupancy_flags_dynamic_z,
+            spatial_tile_permutation,
         )
         from dfanerf_tpu.ops.pack import pack_field_weights
 
         assert rcfg.concate_bg
+        # the fine pass marches the sorted coarse+fine union
+        assert rcfg.n_samples % 8 == 0
         assert (rcfg.n_samples + rcfg.n_importance) % 8 == 0
 
+        # Both passes run as Pallas kernels over spatially-coherent 16x16
+        # ray tiles with conservative per-(tile, slab) occupancy flags
+        # (+ ERT on the fine march):
+        #   coarse — the sigma-only kernel (trunk forward, no rgb/view
+        #     work); empty slabs skip the trunk entirely, writing sigma=0,
+        #     which is EXACT for the resample (zero importance weight);
+        #   fine  — the per-ray-z head kernel; tiles whose importance
+        #     samples all land in empty space (background rays: zero
+        #     coarse weights spread the det resample uniformly) skip
+        #     whole slabs of full field evaluation.
+        # Five jit programs with device-resident intermediates: the
+        # Pallas calls stay alone in theirs (composed-program kernel-fault
+        # rule, see ops/fused_render.py) and no stage needs a host sync —
+        # the flags feed scalar prefetch as device arrays.
+        perm = spatial_tile_permutation(H, W)
+        n_perm = int(perm.shape[0])
+        z_c = jnp.linspace(near, far, rcfg.n_samples)
+
         @jax.jit
-        def render_fused(params, z_shape, z_app, pose, signal, bc_img):
+        def prep_fn(params, z_shape, z_app, pose, signal, bc_img):
             rays_o, rays_d = get_rays(H, W, focal, pose, cx, cy)
-            ro = rays_o.reshape(-1, 3)
-            rd = rays_d.reshape(-1, 3)
-            bc = bc_img.reshape(-1, 3).astype(jnp.float32) / 255.0
+            ro = rays_o.reshape(-1, 3)[perm]
+            rd = rays_d.reshape(-1, 3)[perm]
+            bc = (bc_img.reshape(-1, 3).astype(jnp.float32) / 255.0)[perm]
             pw = pack_field_weights(
                 params["decoder"], dcfg, signal, z_shape[0], z_app[0], "head"
             )
-            # coarse pass: density only — compositing weights are all the
-            # fine resample needs (render_rays' 'fine' branch keeps only
-            # the fine rgb, run_nerf_com_trainExpLater.py:122-124).
-            # Swept in fixed ray tiles with lax.map: the trunk's [N, 384]
-            # intermediate at full 450p coarse resolution would be ~20 GB.
-            z_c = jnp.linspace(near, far, rcfg.n_samples)
-            ctile = 4096
-            n_ct = -(-n_pix // ctile)
-            ro_t_ = jnp.concatenate(
-                [ro, jnp.zeros((n_ct * ctile - n_pix, 3))]
-            ).reshape(n_ct, ctile, 3)
-            rd_t_ = jnp.concatenate(
-                [rd, jnp.ones((n_ct * ctile - n_pix, 3))]
-            ).reshape(n_ct, ctile, 3)
+            return pw, ro, rd, bc
 
-            def sigma_tile(args):
-                o, d = args
-                pts = o[:, None, :] + d[:, None, :] * z_c[None, :, None]
-                return packed_sigma_xla(pw, pts.reshape(-1, 3), "head").reshape(
-                    ctile, rcfg.n_samples
-                )
+        @jax.jit
+        def coarse_flags_fn(pw, ro, rd):
+            zb = jnp.broadcast_to(z_c, (n_perm, rcfg.n_samples))
+            return occupancy_flags_dynamic_z(
+                pw, "head", ro, rd, zb, rcfg.occ_sigma_thresh,
+                grid_res=rcfg.occ_grid_res,
+            ) if rcfg.occ_sigma_thresh > 0 else None
 
-            sigma_c = jax.lax.map(sigma_tile, (ro_t_, rd_t_)).reshape(
-                n_ct * ctile, rcfg.n_samples
-            )[:n_pix]
-            sigma_c = jax.nn.relu(sigma_c)
+        @jax.jit
+        def sigma_fn(pw, ro, rd, occ):
+            return fused_sigma_head(pw, ro, rd, z_c, occupancy=occ)
+
+        @jax.jit
+        def resample_fn(pw, ro, rd, sigma_c):
+            # coarse weights -> det inverse-CDF fine depths (render_rays'
+            # 'fine' branch keeps only the fine rgb,
+            # run_nerf_com_trainExpLater.py:122-124) -> fine-pass flags
             sigma_c = sigma_c.at[:, -1].add(1e-6)  # bg-concat density bump
-            z_b = jnp.broadcast_to(z_c, (n_pix, rcfg.n_samples))
+            z_b = jnp.broadcast_to(z_c, (n_perm, rcfg.n_samples))
             _, weights = volume_render(
                 z_b, rd, sigma_c[None],
-                jnp.zeros((1, n_pix, rcfg.n_samples, 3)),
+                jnp.zeros((1, n_perm, rcfg.n_samples, 3)),
                 last_dist=rcfg.last_dist,
             )
             z_fine = hierarchical_z_vals(
                 z_b, weights, rcfg.n_importance, det=True
             )
-            rgb = fused_render_head(
+            occ_f = occupancy_flags_dynamic_z(
+                pw, "head", ro, rd, z_fine, rcfg.occ_sigma_thresh,
+                grid_res=rcfg.occ_grid_res,
+            ) if rcfg.occ_sigma_thresh > 0 else None
+            return z_fine, occ_f
+
+        @jax.jit
+        def fine_fn(pw, ro, rd, z_fine, bc, occ_f):
+            return fused_render_head(
                 pw, ro, rd, z_fine, bc, last_dist=rcfg.last_dist,
-                ert_eps=rcfg.ert_eps,
+                ert_eps=rcfg.ert_eps, occupancy=occ_f,
             )
-            return rgb.reshape(H, W, 3)
+
+        @jax.jit
+        def finish_fn(rgb_p):
+            return jnp.zeros((H * W, 3)).at[perm].set(rgb_p).reshape(H, W, 3)
+
+        def render_fused(params, z_shape, z_app, pose, signal, bc_img):
+            pw, ro, rd, bc = prep_fn(
+                params, z_shape, z_app, pose, signal, bc_img)
+            occ_c = coarse_flags_fn(pw, ro, rd)
+            sigma_c = sigma_fn(pw, ro, rd, occ_c)
+            z_fine, occ_f = resample_fn(pw, ro, rd, sigma_c)
+            rgb_p = fine_fn(pw, ro, rd, z_fine, bc, occ_f)
+            return finish_fn(rgb_p)
 
         return render_fused
 

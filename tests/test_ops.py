@@ -322,3 +322,118 @@ class TestEarlyRayTermination:
         h1, c1 = fused_render_rays(*args, interpret=True, ert_eps=1e-4)
         assert float(jnp.abs(h1 - h0).max()) < 1e-4
         assert float(jnp.abs(c1 - c0).max()) < 1e-4
+
+
+class TestPairCompaction:
+    """The pair-compacted deferred serving path: pair_field_eval +
+    deferred_composite + _bg_epilogue vs the fused kernel / XLA reference."""
+
+    def _packed(self, d):
+        pw_h = pack_field_weights(
+            d["params"], CFG, d["sig_h"], d["z_s"], d["z_a"], "head",
+            param_dtype=jnp.bfloat16,
+        )
+        pw_t = pack_field_weights(
+            d["params"], CFG, d["sig_t"], d["z_s"], d["z_a"], "torso",
+            param_dtype=jnp.bfloat16,
+        )
+        return pw_h, pw_t
+
+    def _rays(self, d, n):
+        return tuple(
+            jnp.concatenate([d[k]] * ((n + d["n"] - 1) // d["n"]))[:n]
+            for k in ("rays_o", "rays_d", "rays_o_t", "rays_d_t", "bc")
+        )
+
+    def _deferred(self, pw_h, pw_t, ro, rd, ro_t, rd_t, bc, z, occ):
+        from dfanerf_tpu.ops.fused_render import (
+            R_T, S_SLAB, _bg_epilogue, deferred_composite, pair_field_eval,
+        )
+
+        T = ro.shape[0] // R_T
+        J = z.shape[0] // S_SLAB
+
+        def pairs(flags):
+            t_i, j_i = np.nonzero(np.asarray(flags))
+            return jnp.asarray(t_i, jnp.int32), jnp.asarray(j_i, jnp.int32)
+
+        th, jh = pairs(occ[0])
+        tt, jt = pairs(occ[1])
+        buf_h = pair_field_eval(pw_h, "head", ro, rd, z, th, jh,
+                                interpret=True)
+        buf_t = pair_field_eval(pw_t, "torso", ro_t, rd_t, z, tt, jt,
+                                interpret=True)
+        ah, ac, t_h, t_c = deferred_composite(
+            buf_h, buf_t, jnp.asarray(occ), rd, rd_t, z)
+        return _bg_epilogue(pw_h, pw_t, ro, rd, ro_t, rd_t, z, bc,
+                            1e10, ah, ac, t_h, t_c)
+
+    def test_full_pairs_match_fused_kernel(self, setup):
+        """With every (tile, slab) listed and all flags set, the deferred
+        path is the same math as the fused kernel in bg-epilogue mode."""
+        d = setup
+        n = 512
+        ro, rd, ro_t, rd_t, bc = self._rays(d, n)
+        z = d["z_vals1"]
+        pw_h, pw_t = self._packed(d)
+        occ = np.ones((2, 2, 2), np.int32)
+        h_p, c_p = self._deferred(pw_h, pw_t, ro, rd, ro_t, rd_t, bc, z, occ)
+        h_k, c_k = fused_render_rays(
+            pw_h, pw_t, ro, rd, ro_t, rd_t, z, bc,
+            interpret=True, bg_epilogue=True,
+        )
+        np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_k), atol=3e-4)
+        np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_k), atol=3e-4)
+
+    def test_partial_pairs_zero_skipped_slabs(self, setup):
+        """With some flags clear, the result equals the XLA composite with
+        those (tile, slab) densities forced to zero — verifying both the
+        pair index plumbing and the unwritten-block masking."""
+        from dfanerf_tpu.ops.fused_render import (
+            R_T, S_SLAB, _bg_epilogue, packed_field_xla, view_bias,
+        )
+
+        d = setup
+        n = 512
+        ro, rd, ro_t, rd_t, bc = self._rays(d, n)
+        z = d["z_vals1"]
+        S = z.shape[0]
+        pw_h, pw_t = self._packed(d)
+        rng = np.random.RandomState(0)
+        occ = (rng.rand(2, 2, 2) < 0.5).astype(np.int32)
+        h_p, c_p = self._deferred(pw_h, pw_t, ro, rd, ro_t, rd_t, bc, z, occ)
+
+        # reference: full XLA eval with flagged-off slab sigmas zeroed
+        def field(pw, branch, o, di):
+            pts = (o[:, None] + di[:, None] * z[None, :, None]).reshape(-1, 3)
+            vb = jnp.repeat(view_bias(pw, di), S, axis=0)
+            rgb, sig = packed_field_xla(pw, pts, vb, branch)
+            return (rgb.reshape(n, S, 3), jnp.maximum(sig.reshape(n, S), 0.0))
+
+        rgb_h, sig_h = field(pw_h, "head", ro, rd)
+        rgb_t, sig_t = field(pw_t, "torso", ro_t, rd_t)
+
+        def mask(sig, f):
+            m = np.repeat(np.repeat(f, R_T, axis=0), S_SLAB, axis=1)
+            return sig * jnp.asarray(m, jnp.float32)
+
+        sig_h = mask(sig_h, occ[0])
+        sig_t = mask(sig_t, occ[1])
+        from dfanerf_tpu.ops.fused_render import deferred_composite
+
+        # pack the masked fields into deferred_composite-shaped buffers
+        def to_buf(sig, rgb):
+            x = jnp.concatenate([sig[..., None], rgb], axis=-1)  # [n, S, 4]
+            x = x.reshape(n // R_T, R_T, S // S_SLAB, S_SLAB, 4)
+            x = x.transpose(2, 0, 1, 3, 4).reshape(
+                S // S_SLAB, n, 4 * S_SLAB)
+            pad = jnp.zeros((S // S_SLAB, R_T, 4 * S_SLAB))
+            return jnp.concatenate([x, pad], axis=1)
+
+        ah, ac, t_h, t_c = deferred_composite(
+            to_buf(sig_h, rgb_h), to_buf(sig_t, rgb_t),
+            jnp.ones((2, 2, 2), jnp.int32), rd, rd_t, z)
+        h_r, c_r = _bg_epilogue(pw_h, pw_t, ro, rd, ro_t, rd_t, z, bc,
+                                1e10, ah, ac, t_h, t_c)
+        np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_r), atol=3e-4)
+        np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_r), atol=3e-4)
