@@ -27,7 +27,7 @@ REFERENCE = os.environ.get("DFANERF_REFERENCE", "/root/reference")
 
 
 def run(n_steps=1500, H=48, R=128, S=8, n_frames=12, log_every=100,
-        eval_every=250, eval_from=0.5):
+        eval_every=250, eval_from=0.5, seed=0):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -63,7 +63,7 @@ def run(n_steps=1500, H=48, R=128, S=8, n_frames=12, log_every=100,
     i_val = np.asarray(ds.i_val)
 
     # identical initial weights: torch init -> converted jax pytree
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     cfg = DecoderConfig()
     rcfg = RenderConfig(n_samples=S, near=ds.near, far=ds.far)
     tdec = TorchDecoder(z_dim=256, hidden_size=256, dim_signal=96,
@@ -98,7 +98,7 @@ def run(n_steps=1500, H=48, R=128, S=8, n_frames=12, log_every=100,
     bc = (np.asarray(ds.bc_img, np.float32) / 255.0).reshape(-1, 3)
 
     def batch(step):
-        b = np.random.RandomState(10_000 + step)
+        b = np.random.RandomState(10_000 + 100_000 * seed + step)
         fi = int(i_train[b.randint(len(i_train))])
         idx = b.choice(Hh * Ww, R, replace=False)
         return dict(
@@ -279,13 +279,22 @@ def run(n_steps=1500, H=48, R=128, S=8, n_frames=12, log_every=100,
     # 10x across this run (identical on both sides — the comparison is
     # framework-vs-framework, not vs the 600k wall-clock schedule), and
     # average val PSNR over a trailing eval window.
+    # 100-step linear warmup: at full lr from step 0 an early loss spike
+    # can push the sigma head's pre-activation negative along every
+    # training ray, after which relu gradients are zero and the head field
+    # is permanently dead (the bg catch-all then carries the composite —
+    # the reference's loss admits this collapse too; one measured run had
+    # the jax trajectory die at a spike the torch one survived purely by
+    # fp-chaos). Warmup + the larger default R keep both trajectories in
+    # the live basin so the converged comparison measures the frameworks,
+    # not collapse roulette.
     t_losses, j_losses = [], []
     evals = []  # (step, pt_com, pj_com, pt_head, pj_head)
     t0 = time.time()
     with jax.default_matmul_precision("highest"):
         for step in range(n_steps):
             d = batch(step)
-            lr = 5e-4 * 0.1 ** (step / n_steps)
+            lr = 5e-4 * min(1.0, (step + 1) / 100.0) * 0.1 ** (step / n_steps)
             t_losses.append(torch_step(d, lr))
             dj = {k: jnp.asarray(v) for k, v in d.items()
                   if k not in ("fi", "idx")}
@@ -309,8 +318,14 @@ def run(n_steps=1500, H=48, R=128, S=8, n_frames=12, log_every=100,
     pt_com, pj_com, pt_head, pj_head = ev.mean(axis=0)
     rel = [abs(a - b) / max(abs(b), 1e-12)
            for a, b in zip(j_losses, t_losses)]
+    # dead-field detector: a head PSNR frozen across the eval window means
+    # that side's head field collapsed (see warmup note) — the run can't
+    # support a parity claim and must be re-run / reported as dead
+    dead = [bool(ev[:, i].std() < 1e-3) for i in (2, 3)] \
+        if len(evals) > 1 else [False, False]
     return {
-        "n_steps": n_steps, "H": H, "R": R, "S": S,
+        "n_steps": n_steps, "H": H, "R": R, "S": S, "seed": seed,
+        "head_field_dead_torch_jax": dead,
         # trailing-window means (the parity claim) + per-eval detail
         "val_psnr_torch_com": round(pt_com, 3),
         "val_psnr_jax_com": round(pj_com, 3),
@@ -333,9 +348,10 @@ def run(n_steps=1500, H=48, R=128, S=8, n_frames=12, log_every=100,
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
     H = int(sys.argv[2]) if len(sys.argv) > 2 else 48
-    R = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    R = int(sys.argv[3]) if len(sys.argv) > 3 else 512
     S = int(sys.argv[4]) if len(sys.argv) > 4 else 8
-    print(json.dumps(run(n_steps, H, R, S)))
+    seed = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    print(json.dumps(run(n_steps, H, R, S, seed=seed)))
 
 
 if __name__ == "__main__":

@@ -367,15 +367,24 @@ def _occupancy_sat(pw, branch, lo, span, grid_res, sigma_thresh,
     gf = grid_res * supersample
     g_fine = jnp.linspace(0.0, 1.0, gf)
     gy, gx = jnp.meshgrid(g_fine, g_fine, indexing="ij")
+    # z-slabs of 8 slices per map step: one [8*gf^2, 384] trunk batch is
+    # ~100 MB of intermediate at G=48*2 (bounded), while per-slice mapping
+    # is dispatch-serial and ~25x slower end to end
+    zc = 8 if gf % 8 == 0 else 4
 
-    def slice_occ(z):
+    def slab_occ(z_group):  # [zc]
         pts = lo + jnp.stack(
-            [gx, gy, jnp.broadcast_to(z, gx.shape)], -1
+            [jnp.broadcast_to(gx, (zc,) + gx.shape),
+             jnp.broadcast_to(gy, (zc,) + gy.shape),
+             jnp.broadcast_to(z_group[:, None, None], (zc,) + gx.shape)],
+            -1,
         ).reshape(-1, 3) * span
         sig = packed_sigma_xla(pw, pts, branch)
-        return (sig > sigma_thresh * 0.25).reshape(gf, gf)
+        return (sig > sigma_thresh * 0.25).reshape(zc, gf, gf)
 
-    occ_fine = jax.lax.map(slice_occ, g_fine)  # [z, y, x]
+    occ_fine = jax.lax.map(
+        slab_occ, g_fine.reshape(gf // zc, zc)
+    ).reshape(gf, gf, gf)  # [z, y, x]
     occ = jax.lax.reduce_window(
         occ_fine.astype(jnp.int32), 0, jax.lax.max,
         (supersample,) * 3, (supersample,) * 3, "valid",
@@ -420,6 +429,7 @@ def occupancy_flags_dynamic_z(
     z_vals: jnp.ndarray,
     sigma_thresh: float,
     grid_res: int = 64,
+    sat_cache=None,
 ) -> jnp.ndarray:
     """Per-(tile, slab) occupancy flags for PER-RAY depths (the
     hierarchical fine pass: importance-resampled z differ per ray).
@@ -430,8 +440,26 @@ def occupancy_flags_dynamic_z(
     rays evaluated at [z_lo, z_hi], so the 8-corner AABB bounds it.
 
     rays must be in spatial-tile order; z_vals [n, S] per-ray sorted.
-    Returns [n_tiles, n_slabs] int32.
+    ``sat_cache`` (from a previous call's ``.sat_cache`` attribute on the
+    result — see below) reuses a built SAT when the FIELD is unchanged
+    and the new query boxes lie inside the cached AABB (the hierarchical
+    fine pass: fine depths are within the coarse [near, far], so the
+    coarse pass's SAT serves both — one grid evaluation per frame, not
+    two). Returns flags [n_tiles, n_slabs] int32 with a ``.sat_cache``
+    aux available via the second return of occupancy_flags_and_sat.
     """
+    flags, _ = occupancy_flags_and_sat(
+        pw, branch, rays_o, rays_d, z_vals, sigma_thresh, grid_res,
+        sat_cache,
+    )
+    return flags
+
+
+def occupancy_flags_and_sat(
+    pw, branch, rays_o, rays_d, z_vals, sigma_thresh, grid_res=64,
+    sat_cache=None,
+):
+    """occupancy_flags_dynamic_z + the (sat, lo, span) cache for reuse."""
     n, S = z_vals.shape
     assert S % S_SLAB == 0 and n % R_T == 0
     n_slabs = S // S_SLAB
@@ -443,18 +471,22 @@ def occupancy_flags_dynamic_z(
     z_ends = jnp.stack([z_lo, z_hi], axis=-1)  # [T, J, 2]
     # [T, J, 2, 4, 3]
     pts = o_c[:, None, None] + d_c[:, None, None] * z_ends[..., None, None]
-    allp = pts.reshape(-1, 3)
-    lo = allp.min(0)
-    span = jnp.maximum(allp.max(0) - lo, 1e-6)
+    if sat_cache is None:
+        allp = pts.reshape(-1, 3)
+        lo = allp.min(0)
+        span = jnp.maximum(allp.max(0) - lo, 1e-6)
+        sat = _occupancy_sat(pw, branch, lo, span, grid_res, sigma_thresh)
+    else:
+        sat, lo, span = sat_cache
     voxel = span / (grid_res - 1)
-    sat = _occupancy_sat(pw, branch, lo, span, grid_res, sigma_thresh)
     ab_lo = pts.min(axis=(2, 3))
     ab_hi = pts.max(axis=(2, 3))
     i_lo = jnp.clip(jnp.ceil((ab_lo - lo) / voxel - 0.5).astype(jnp.int32),
                     0, grid_res - 1)
     i_hi = jnp.clip(jnp.floor((ab_hi - lo) / voxel + 0.5).astype(jnp.int32),
                     0, grid_res - 1)
-    return _sat_box_any(sat, i_lo, i_hi).astype(jnp.int32)
+    flags = _sat_box_any(sat, i_lo, i_hi).astype(jnp.int32)
+    return flags, (sat, lo, span)
 
 
 def conservative_occupancy(
@@ -796,11 +828,11 @@ def _sigma_kernel(
             encs.append(jnp.sin(pts * freq + ph))
         pe = jnp.concatenate(encs, axis=0).astype(jnp.bfloat16)
         sigma = jnp.maximum(trunk(pe)[:, 0:1], 0.0)  # [rows, 1]
-        out_ref[:] = sigma.reshape(S_SLAB, R_T).T
+        out_ref[0] = sigma.reshape(S_SLAB, R_T).T
 
     @pl.when(occ_ref[t, j] == 0)
     def _zero():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[0] = jnp.zeros_like(out_ref[0])
 
 
 def fused_sigma_head(
@@ -862,19 +894,23 @@ def fused_sigma_head(
             pl.BlockSpec((1, PE_PAD), lambda t, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + weight_specs,
+        # slab-major out buffer [J, n_pad, S_SLAB]: the trailing block
+        # dims (R_T, S_SLAB) satisfy Mosaic's (8-divisible, full-dim) rule,
+        # which a [n_pad, S] layout with (R_T, S_SLAB) blocks would not
         out_specs=pl.BlockSpec(
-            (R_T, S_SLAB), lambda t, j, *_: (t, j), memory_space=pltpu.VMEM
+            (1, R_T, S_SLAB), lambda t, j, *_: (j, t, 0),
+            memory_space=pltpu.VMEM,
         ),
     )
     out = pl.pallas_call(
         _sigma_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, S), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_slabs, n_pad, S_SLAB), jnp.float32),
         interpret=interpret,
     )(occupancy.astype(jnp.int32), z_rows, o_r, d_r,
       freqs[None].astype(jnp.float32), phase[None].astype(jnp.float32),
       *weight_ops)
-    return out[:n]
+    return out.transpose(1, 0, 2).reshape(n_pad, S)[:n]
 
 
 # ---------------------------------------------------------------------------
@@ -903,7 +939,7 @@ def _pair_field_kernel(
     w_in, b_in, w_blocks, b_blocks, w_skip, b_skip, w_sf, b_sf,
     w_out, b_out,
     d_w1, d_b1, d_wk, d_bk, d_wskip, d_bskip, d_wout, d_bout, sig_pad,
-    out_ref, *, branch: str,
+    sig_out, r_out, g_out, b_out_ref, *, branch: str,
 ):
     rows = S_SLAB * R_T
 
@@ -944,11 +980,16 @@ def _pair_field_kernel(
     net = jnp.maximum(sf[:, 128:384] + vr.astype(jnp.float32), 0.0)
     rgb = jax.nn.sigmoid(_mm(net.astype(jnp.bfloat16), w_out[:]) + b_out[:])
 
-    parts = []
-    for s in range(S_SLAB):
-        sel = slice(s * R_T, (s + 1) * R_T)
-        parts.append(jnp.concatenate([sigma[sel], rgb[sel, 0:3]], axis=1))
-    out_ref[0] = jnp.concatenate(parts, axis=1)  # [R_T, 4*S_SLAB]
+    # one [S_SLAB, R_T] -> [R_T, S_SLAB] transpose per channel into its
+    # own output buffer — the same epilogue shape the sigma-only kernel
+    # uses. (A reshape(S_SLAB, R_T, 4).transpose(1, 0, 2) assembly hits an
+    # unsupported Mosaic vector reshape; a concat of four transposes
+    # wedges the compiler; 8 per-slab 4-lane concats into one 32-lane
+    # block cost ~10us/step of VPU shuffles.)
+    sig_out[0] = sigma[:, 0].reshape(S_SLAB, R_T).T
+    r_out[0] = rgb[:, 0].reshape(S_SLAB, R_T).T
+    g_out[0] = rgb[:, 1].reshape(S_SLAB, R_T).T
+    b_out_ref[0] = rgb[:, 2].reshape(S_SLAB, R_T).T
 
 
 def pair_field_eval(
@@ -968,9 +1009,10 @@ def pair_field_eval(
     pairs use t_idx == n_tiles (the dummy tile row).
 
     Returns the dense per-sample field buffer
-    [n_slabs, (n_tiles+1)*R_T, 4*S_SLAB] fp32, lane s*4+c with channels
-    (relu sigma, sigmoid r, g, b). Only listed pairs' blocks are written —
-    callers MUST mask reads with the occupancy flags that built the list.
+    [n_slabs, (n_tiles+1)*R_T, 4*S_SLAB] fp32, lane c*S_SLAB+s with
+    channels (relu sigma, sigmoid r, g, b). Only listed pairs' blocks are
+    written — callers MUST mask reads with the occupancy flags that built
+    the list (deferred_composite does).
     """
     n = rays_o.shape[0]
     S = z_vals.shape[0]
@@ -1078,8 +1120,9 @@ def deferred_composite(
     T = n // R_T
 
     def unpack(buf, occ_f):
-        x = buf.reshape(J, NT // R_T, R_T, S_SLAB, 4)[:, :T]
-        x = x.transpose(1, 2, 0, 3, 4).reshape(n, S, 4)
+        # kernel lane layout is channel-major: lane = c*S_SLAB + s
+        x = buf.reshape(J, NT // R_T, R_T, 4, S_SLAB)[:, :T]
+        x = x.transpose(1, 2, 0, 4, 3).reshape(n, S, 4)
         flag = jnp.repeat(
             occ_f.astype(bool), R_T, axis=0
         ).reshape(n, J)

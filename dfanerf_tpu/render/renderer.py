@@ -101,6 +101,10 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
 
             return render_frame_fused
 
+        if rcfg.occ_pair_compaction:
+            return _make_pair_compaction_renderer(
+                cfg, rcfg, perm, z_vals_c, frame_inputs, unpermute)
+
         if not rcfg.occ_tile_compaction:
             # occupancy serving path (flags refreshed every
             # occ_refresh_every frames; the bg catch-all runs as a per-ray
@@ -145,10 +149,6 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
                 return occ_render_fn(inputs, cache["occ"])
 
             return render_frame_occ_plain
-
-        if rcfg.occ_pair_compaction:
-            return _make_pair_compaction_renderer(
-                cfg, rcfg, perm, z_vals_c, frame_inputs, unpermute)
 
         # --- occupancy serving path: per-field tile classes ---------------
         # The per-field flags partition the frame's tiles into four classes:
@@ -541,7 +541,7 @@ def make_head_hierarchical_renderer(
         from dfanerf_tpu.ops.fused_render import (
             fused_render_head,
             fused_sigma_head,
-            occupancy_flags_dynamic_z,
+            occupancy_flags_and_sat,
             spatial_tile_permutation,
         )
         from dfanerf_tpu.ops.pack import pack_field_weights
@@ -582,21 +582,25 @@ def make_head_hierarchical_renderer(
 
         @jax.jit
         def coarse_flags_fn(pw, ro, rd):
+            if rcfg.occ_sigma_thresh <= 0:
+                return None, None
             zb = jnp.broadcast_to(z_c, (n_perm, rcfg.n_samples))
-            return occupancy_flags_dynamic_z(
+            return occupancy_flags_and_sat(
                 pw, "head", ro, rd, zb, rcfg.occ_sigma_thresh,
                 grid_res=rcfg.occ_grid_res,
-            ) if rcfg.occ_sigma_thresh > 0 else None
+            )
 
         @jax.jit
         def sigma_fn(pw, ro, rd, occ):
             return fused_sigma_head(pw, ro, rd, z_c, occupancy=occ)
 
         @jax.jit
-        def resample_fn(pw, ro, rd, sigma_c):
+        def resample_fn(pw, ro, rd, sigma_c, sat_cache):
             # coarse weights -> det inverse-CDF fine depths (render_rays'
             # 'fine' branch keeps only the fine rgb,
             # run_nerf_com_trainExpLater.py:122-124) -> fine-pass flags
+            # (reusing the coarse pass's SAT: same field, fine depths
+            # inside the same [near, far] AABB)
             sigma_c = sigma_c.at[:, -1].add(1e-6)  # bg-concat density bump
             z_b = jnp.broadcast_to(z_c, (n_perm, rcfg.n_samples))
             _, weights = volume_render(
@@ -607,10 +611,10 @@ def make_head_hierarchical_renderer(
             z_fine = hierarchical_z_vals(
                 z_b, weights, rcfg.n_importance, det=True
             )
-            occ_f = occupancy_flags_dynamic_z(
+            occ_f = occupancy_flags_and_sat(
                 pw, "head", ro, rd, z_fine, rcfg.occ_sigma_thresh,
-                grid_res=rcfg.occ_grid_res,
-            ) if rcfg.occ_sigma_thresh > 0 else None
+                grid_res=rcfg.occ_grid_res, sat_cache=sat_cache,
+            )[0] if rcfg.occ_sigma_thresh > 0 else None
             return z_fine, occ_f
 
         @jax.jit
@@ -627,9 +631,9 @@ def make_head_hierarchical_renderer(
         def render_fused(params, z_shape, z_app, pose, signal, bc_img):
             pw, ro, rd, bc = prep_fn(
                 params, z_shape, z_app, pose, signal, bc_img)
-            occ_c = coarse_flags_fn(pw, ro, rd)
+            occ_c, sat_cache = coarse_flags_fn(pw, ro, rd)
             sigma_c = sigma_fn(pw, ro, rd, occ_c)
-            z_fine, occ_f = resample_fn(pw, ro, rd, sigma_c)
+            z_fine, occ_f = resample_fn(pw, ro, rd, sigma_c, sat_cache)
             rgb_p = fine_fn(pw, ro, rd, z_fine, bc, occ_f)
             return finish_fn(rgb_p)
 

@@ -101,17 +101,29 @@ def sample_pixel_coords(
 
 
 def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
-                    sparsity_lambda: float = 0.0, sparsity_points: int = 4096):
+                    sparsity_lambda: float = 0.0, sparsity_points: int = 4096,
+                    sparsity_mode: str = "points"):
     """Build the jitted train step closed over static shapes/config.
 
     ``sparsity_lambda > 0`` enables the SERVING-BAKE variant: the shipped
-    loss (identical to the reference) plus a Cauchy density-sparsity prior
-    ``lambda * mean(log(1 + 2*sigma^2))`` at uniform random points in the
-    render-frustum AABB, for both fields. This is an opt-in serving
-    preparation pass (a brief fine-tune that clears unsupervised-space
-    density floaters so occupancy skipping can pay), NOT part of the
-    reference training recipe — run_nerf_com_trainExpLater.py has no such
-    term and the default lambda=0 path is bit-identical to it.
+    loss (identical to the reference) plus a density-sparsity prior for
+    both fields. This is an opt-in serving preparation pass (a brief
+    fine-tune that clears unsupervised-space density floaters so occupancy
+    skipping can pay), NOT part of the reference training recipe —
+    run_nerf_com_trainExpLater.py has no such term and the default
+    lambda=0 path is bit-identical to it.
+
+    ``sparsity_mode``:
+      - "points": Cauchy prior ``mean(log(1 + 2*sigma^2))`` at uniform
+        random points in the render-frustum AABB — crushes junk anywhere,
+        but also fights surface density everywhere (costs PSNR at high
+        lambda);
+      - "visibility": march random full-frame rays and penalize sigma
+        ONLY at samples whose compositing weight (in both the head-only
+        and composite stacks, stop-gradient'd) is below ``1e-4`` — i.e.
+        density the serving renders provably never see. Surfaces are
+        untouched, so lambda can be large; this is the mode that directly
+        minimizes occupancy-flag density.
     """
     from dfanerf_tpu.data.dataset import speaking_i_train
 
@@ -137,6 +149,8 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
         aabb_lo = jnp.asarray(corners.min(0))
         aabb_hi = jnp.asarray(corners.max(0))
 
+    cauchy = lambda s: jnp.log1p(2.0 * jnp.maximum(s, 0.0) ** 2)
+
     def sparsity_loss(params, z_shape, z_app, signal, signal_torso, key):
         from dfanerf_tpu.models.decoder import apply_decoder
 
@@ -152,8 +166,69 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
             params["decoder"], dcfg, pts, dirs, z_shape[1], z_app[1],
             signal_torso, "torso",
         )
-        cauchy = lambda s: jnp.mean(jnp.log1p(2.0 * jnp.maximum(s, 0.0) ** 2))
-        return cauchy(sig_h) + cauchy(sig_t)
+        return jnp.mean(cauchy(sig_h)) + jnp.mean(cauchy(sig_t))
+
+    def visibility_sparsity_loss(params, state, data, key, w_eps=1e-4):
+        """Penalize density only where the serving composite provably
+        never sees it: along random full-frame rays, a sample's Cauchy
+        penalty is gated (stop-gradient) on its compositing weight being
+        below w_eps in BOTH the head-only and composite stacks — the same
+        weight expressions the renderer/fused kernel march
+        (run_nerf_com_trainExpLater.py:169-179 semantics via
+        core/compositing)."""
+        from dfanerf_tpu.models.decoder import apply_decoder
+
+        n_rays = max(sparsity_points // rcfg.n_samples, 16)
+        k_img, k_pix, k_sig = jax.random.split(key, 3)
+        img_pos = jax.random.randint(k_img, (), 0, n_train)
+        img_i = data["i_train"][img_pos]
+        coords = sample_pixel_coords(k_pix, H, W, n_rays, 0.0,
+                                     jnp.zeros((4,), jnp.int32))
+        pose = data["poses"][img_i]
+        rays_o, rays_d = rays_for_pixels(coords, focal, pose, cx, cy)
+        rays_o_t, rays_d_t = rays_for_pixels(
+            coords, focal, data["poses"][0], cx, cy)
+        z = jnp.linspace(near, far, rcfg.n_samples)
+
+        def field_sigma(ro, rd, obj, sig, branch):
+            pts = ro[:, None] + rd[:, None] * z[None, :, None]
+            dirs = jnp.broadcast_to(rd[:, None], pts.shape)
+            _, s = apply_decoder(
+                params["decoder"], dcfg, pts.reshape(-1, 3),
+                dirs.reshape(-1, 3), state["z_shape"][obj],
+                state["z_app"][obj], sig, branch,
+            )
+            return jnp.maximum(s.reshape(n_rays, rcfg.n_samples), 0.0)
+
+        signal = encode_signal(
+            params, data["auds"], data["exps"], img_i, jnp.int32(n_train),
+            scfg.smo_size, jnp.asarray(False), scfg.audio_net, scfg.win_size,
+        )
+        signal_torso = encode_signal_torso(
+            params, data["poses"], img_i, jnp.int32(n_train),
+            scfg.smo_torso_size, jnp.asarray(False), scfg.et_multires,
+        )
+        sig_h = field_sigma(rays_o, rays_d, 0, signal, "head")
+        sig_t = field_sigma(rays_o_t, rays_d_t, 1, signal_torso, "torso")
+
+        def weights(sigma, rd):
+            dists = jnp.concatenate(
+                [z[1:] - z[:-1], jnp.full((1,), rcfg.last_dist)]
+            )[None, :] * jnp.linalg.norm(rd, axis=-1, keepdims=True)
+            alpha = 1.0 - jnp.exp(-(sigma + 1e-6) * dists)
+            trans = jnp.cumprod(jnp.concatenate(
+                [jnp.ones((n_rays, 1)), 1.0 - alpha + 1e-10], axis=1
+            ), axis=1)[:, :-1]
+            return alpha * trans
+
+        w_head = weights(sig_h, rays_d)
+        w_com = weights(sig_h + sig_t, rays_d_t)
+        unseen = jax.lax.stop_gradient(
+            (jnp.maximum(w_head, w_com) < w_eps).astype(jnp.float32)
+        )
+        denom = jnp.maximum(unseen.sum(), 1.0)
+        return (jnp.sum(cauchy(sig_h) * unseen)
+                + jnp.sum(cauchy(sig_t) * unseen)) / denom
 
     def loss_fn(params, state, data, img_i, coords, z_vals, use_smo,
                 k_sparse=None):
@@ -207,10 +282,15 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
         else:
             loss = loss_head + loss_com
         if sparsity_lambda > 0.0:
-            loss = loss + sparsity_lambda * sparsity_loss(
-                params, state["z_shape"], state["z_app"], signal,
-                signal_torso, k_sparse,
-            )
+            if sparsity_mode == "visibility":
+                loss = loss + sparsity_lambda * visibility_sparsity_loss(
+                    params, state, data, k_sparse,
+                )
+            else:
+                loss = loss + sparsity_lambda * sparsity_loss(
+                    params, state["z_shape"], state["z_app"], signal,
+                    signal_torso, k_sparse,
+                )
         return loss, (loss_head, loss_com)
 
     @jax.jit
@@ -267,6 +347,14 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
             "psnr_head": -10.0 * jnp.log(loss_head) / jnp.log(10.0),
             "psnr_com": -10.0 * jnp.log(loss_com) / jnp.log(10.0),
             "lr": lr,
+            # observability for convergence diagnostics (QUALITY.md): which
+            # frame the batch came from and how large the update was —
+            # transient val-PSNR dips correlate with outlier gradient
+            # steps, and these two fields localize them for free
+            "img_i": img_i,
+            "grad_norm": jnp.sqrt(sum(
+                jnp.sum(g * g) for g in jax.tree.leaves(grads)
+            )),
         }
         return new_state, metrics
 

@@ -422,10 +422,11 @@ class TestPairCompaction:
         from dfanerf_tpu.ops.fused_render import deferred_composite
 
         # pack the masked fields into deferred_composite-shaped buffers
+        # (kernel lane layout: channel-major, lane = c*S_SLAB + s)
         def to_buf(sig, rgb):
             x = jnp.concatenate([sig[..., None], rgb], axis=-1)  # [n, S, 4]
             x = x.reshape(n // R_T, R_T, S // S_SLAB, S_SLAB, 4)
-            x = x.transpose(2, 0, 1, 3, 4).reshape(
+            x = x.transpose(2, 0, 1, 4, 3).reshape(
                 S // S_SLAB, n, 4 * S_SLAB)
             pad = jnp.zeros((S // S_SLAB, R_T, 4 * S_SLAB))
             return jnp.concatenate([x, pad], axis=1)
