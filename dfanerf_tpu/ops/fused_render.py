@@ -1008,11 +1008,10 @@ def pair_field_eval(
     z_vals [S] shared; t_idx/j_idx [K] int32 pair coordinates — padding
     pairs use t_idx == n_tiles (the dummy tile row).
 
-    Returns the dense per-sample field buffer
-    [n_slabs, (n_tiles+1)*R_T, 4*S_SLAB] fp32, lane c*S_SLAB+s with
-    channels (relu sigma, sigmoid r, g, b). Only listed pairs' blocks are
-    written — callers MUST mask reads with the occupancy flags that built
-    the list (deferred_composite does).
+    Returns a 4-tuple of dense per-sample channel buffers (relu sigma,
+    sigmoid r, g, b), each [n_slabs, (n_tiles+1)*R_T, S_SLAB] fp32. Only
+    listed pairs' blocks are written — callers MUST mask reads with the
+    occupancy flags that built the list (deferred_composite does).
     """
     n = rays_o.shape[0]
     S = z_vals.shape[0]
@@ -1022,8 +1021,9 @@ def pair_field_eval(
     if t_idx.shape[0] == 0:
         # nothing occupied for this field this frame — the composite masks
         # every slab off, so any buffer contents work; zeros are cheapest
-        return jnp.zeros(
-            (n_slabs, (n_tiles + 1) * R_T, 4 * S_SLAB), jnp.float32
+        return tuple(
+            jnp.zeros((n_slabs, (n_tiles + 1) * R_T, S_SLAB), jnp.float32)
+            for _ in range(4)
         )
 
     coord_idx = jnp.arange(PE_PAD) % 3
@@ -1081,16 +1081,20 @@ def pair_field_eval(
             pl.BlockSpec((1, PE_PAD), lambda k, ti, ji: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + weight_specs,
-        out_specs=pl.BlockSpec(
-            (1, R_T, 4 * S_SLAB), lambda k, ti, ji: (ji[k], ti[k], 0),
-            memory_space=pltpu.VMEM,
+        out_specs=tuple(
+            pl.BlockSpec(
+                (1, R_T, S_SLAB), lambda k, ti, ji: (ji[k], ti[k], 0),
+                memory_space=pltpu.VMEM,
+            ) for _ in range(4)
         ),
     )
     return pl.pallas_call(
         functools.partial(_pair_field_kernel, branch=branch),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_slabs, (n_tiles + 1) * R_T, 4 * S_SLAB), jnp.float32
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(
+                (n_slabs, (n_tiles + 1) * R_T, S_SLAB), jnp.float32
+            ) for _ in range(4)
         ),
         interpret=interpret,
     )(t_idx.astype(jnp.int32), j_idx.astype(jnp.int32), z_rows,
@@ -1110,25 +1114,29 @@ def deferred_composite(
     _render_kernel's in-register march (bg_epilogue mode: the catch-all
     sample is the caller's _bg_epilogue), vectorized over [n, S] in XLA.
 
-    occ [2, T, J] masks every (tile, slab) a pair list may have skipped
-    (where(flag, sigma, 0) also stops NaN garbage from unwritten blocks).
-    Returns (acc_head [n,3], acc_com [n,3], t_head [n,1], t_com [n,1]).
+    buf_h/buf_t are pair_field_eval 4-tuples. occ [2, T, J] masks every
+    (tile, slab) a pair list may have skipped (where(flag, x, 0) also
+    stops NaN garbage from unwritten blocks). Returns
+    (acc_head [n,3], acc_com [n,3], t_head [n,1], t_com [n,1]).
     """
-    J, NT, _ = buf_h.shape
+    J, NT, _ = buf_h[0].shape
     n = rays_d.shape[0]
     S = z_vals.shape[0]
     T = n // R_T
 
-    def unpack(buf, occ_f):
-        # kernel lane layout is channel-major: lane = c*S_SLAB + s
-        x = buf.reshape(J, NT // R_T, R_T, 4, S_SLAB)[:, :T]
-        x = x.transpose(1, 2, 0, 4, 3).reshape(n, S, 4)
+    def unpack(bufs, occ_f):
         flag = jnp.repeat(
             occ_f.astype(bool), R_T, axis=0
         ).reshape(n, J)
         flag = jnp.repeat(flag, S_SLAB, axis=1)  # [n, S]
-        sigma = jnp.where(flag, x[..., 0], 0.0)
-        rgb = jnp.where(flag[..., None], x[..., 1:4], 0.0)
+
+        def chan(buf):
+            x = buf.reshape(J, NT // R_T, R_T, S_SLAB)[:, :T]
+            x = x.transpose(1, 2, 0, 3).reshape(n, S)
+            return jnp.where(flag, x, 0.0)
+
+        sigma = chan(bufs[0])
+        rgb = jnp.stack([chan(b) for b in bufs[1:]], axis=-1)  # [n, S, 3]
         return sigma, rgb
 
     sig_h, rgb_h = unpack(buf_h, occ[0])

@@ -422,14 +422,15 @@ class TestPairCompaction:
         from dfanerf_tpu.ops.fused_render import deferred_composite
 
         # pack the masked fields into deferred_composite-shaped buffers
-        # (kernel lane layout: channel-major, lane = c*S_SLAB + s)
+        # (pair_field_eval 4-tuple: per-channel [J, (T+1)*R_T, S_SLAB])
         def to_buf(sig, rgb):
-            x = jnp.concatenate([sig[..., None], rgb], axis=-1)  # [n, S, 4]
-            x = x.reshape(n // R_T, R_T, S // S_SLAB, S_SLAB, 4)
-            x = x.transpose(2, 0, 1, 4, 3).reshape(
-                S // S_SLAB, n, 4 * S_SLAB)
-            pad = jnp.zeros((S // S_SLAB, R_T, 4 * S_SLAB))
-            return jnp.concatenate([x, pad], axis=1)
+            def chan(c):  # c [n, S]
+                x = c.reshape(n // R_T, R_T, S // S_SLAB, S_SLAB)
+                x = x.transpose(2, 0, 1, 3).reshape(S // S_SLAB, n, S_SLAB)
+                pad = jnp.zeros((S // S_SLAB, R_T, S_SLAB))
+                return jnp.concatenate([x, pad], axis=1)
+
+            return (chan(sig),) + tuple(chan(rgb[..., i]) for i in range(3))
 
         ah, ac, t_h, t_c = deferred_composite(
             to_buf(sig_h, rgb_h), to_buf(sig_t, rgb_t),
