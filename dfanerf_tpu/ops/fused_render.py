@@ -555,8 +555,9 @@ def conservative_occupancy(
 
 
 def _full(shape=None):
-    """Whole-array block (weights: same block for every grid step)."""
-    return pl.BlockSpec(shape, lambda t, j, *_: tuple(0 for _ in shape),
+    """Whole-array block (weights: same block for every grid step);
+    grid-arity-agnostic index map."""
+    return pl.BlockSpec(shape, lambda *_: tuple(0 for _ in shape),
                         memory_space=pltpu.VMEM)
 
 
@@ -771,23 +772,8 @@ def _bg_epilogue(pw_h, pw_t, rays_o, rays_d, rays_o_t, rays_d_t, z_vals,
     )[:, None]
     vb_t = view_bias(pw_t, rays_d_t).astype(jnp.bfloat16)
     ct, _ = packed_field_xla(pw_t, pts_t, vb_t, "torso", dtype=dtype)  # [n, 3]
-    dh_l = last_dist * jnp.linalg.norm(rays_d.astype(jnp.float32), axis=-1,
-                                       keepdims=True)
-    dt_l = last_dist * jnp.linalg.norm(rays_d_t.astype(jnp.float32), axis=-1,
-                                       keepdims=True)
-    bc = bc_rgb.astype(jnp.float32)
-
-    sh_head = sh + 1e-6
-    alpha_h = 1.0 - jnp.exp(-(sh_head + 1e-6) * dh_l)
-    head = acc_head + (alpha_h * t_head) * bc
-
-    st_com = 1e-6
-    ssum = sh + st_com
-    denom = jnp.where(ssum == 0.0, 1e-4, ssum)
-    c_mix = (sh * bc + st_com * ct) / denom
-    alpha_c = 1.0 - jnp.exp(-(ssum + 1e-6) * dt_l)
-    com = acc_com + (alpha_c * t_com) * c_mix
-    return head, com
+    return bg_blend(sh, ct, rays_d, rays_d_t, bc_rgb, last_dist,
+                    acc_head, acc_com, t_head, t_com)
 
 
 # ---------------------------------------------------------------------------
@@ -1100,6 +1086,165 @@ def pair_field_eval(
     )(t_idx.astype(jnp.int32), j_idx.astype(jnp.int32), z_rows,
       o_r, d_r, vr, freqs[None].astype(jnp.float32),
       phase[None].astype(jnp.float32), *weight_ops)
+
+
+def _far_kernel(
+    ph_ref, pt_ref, vr_t_ref, freq_ref, phase_ref,
+    hw_in, hb_in, hw_blocks, hb_blocks, hw_skip, hb_skip, hw_sf, hb_sf,
+    tw_in, tb_in, tw_blocks, tb_blocks, tw_skip, tb_skip, tw_sf, tb_sf,
+    tw_out, tb_out,
+    d_w1, d_b1, d_wk, d_bk, d_wskip, d_bskip, d_wout, d_bout, sig_pad,
+    sig_out, r_out, g_out, b_out_ref,
+):
+    """Far-plane catch-all evals for the bg epilogue: one point per ray —
+    head sigma + torso rgb — as a single MXU pass instead of an XLA
+    forward whose [N, 384] intermediates round-trip HBM (measured 8.8 ms
+    -> ~2.5 ms at 450p)."""
+
+    def trunk(pe, w_in, b_in, w_blocks, b_blocks, w_skip, b_skip, w_sf, b_sf):
+        h = jnp.maximum(_mm(pe, w_in[:]) + b_in[:], 0.0).astype(jnp.bfloat16)
+        for i in range(7):
+            h = jnp.maximum(_mm(h, w_blocks[i]) + b_blocks[i], 0.0)
+            if i == 3:
+                h = h + _mm(pe, w_skip[:]) + b_skip[:]
+            h = h.astype(jnp.bfloat16)
+        return _mm(h, w_sf[:]) + b_sf[:]
+
+    pe_h = jnp.sin(ph_ref[:] * freq_ref[:] + phase_ref[:]).astype(jnp.bfloat16)
+    sf_h = trunk(pe_h, hw_in, hb_in, hw_blocks, hb_blocks, hw_skip, hb_skip,
+                 hw_sf, hb_sf)
+    rows = pe_h.shape[0]
+    sig_out[:] = jnp.broadcast_to(
+        jnp.maximum(sf_h[:, 0:1], 0.0), (rows, 8))
+
+    pe_t = jnp.sin(pt_ref[:] * freq_ref[:] + phase_ref[:]).astype(jnp.bfloat16)
+    dh = jnp.maximum(_mm(pe_t, d_w1[:]) + d_b1[:], 0.0).astype(jnp.bfloat16)
+    for i in range(4):
+        dh = jnp.maximum(_mm(dh, d_wk[i]) + d_bk[i], 0.0)
+        if i == 2:
+            dh = dh + _mm(pe_t, d_wskip[:]) + d_bskip[:]
+        dh = dh.astype(jnp.bfloat16)
+    d_out = _mm(dh, d_wout[:]) + d_bout[:]
+    pe128 = jnp.concatenate([pe_t.astype(jnp.float32),
+                             jnp.zeros_like(pe_t, jnp.float32)], axis=-1)
+    p2 = (d_out + sig_pad[:] + pe128).astype(jnp.bfloat16)
+    sf_t = trunk(p2, tw_in, tb_in, tw_blocks, tb_blocks, tw_skip, tb_skip,
+                 tw_sf, tb_sf)
+    net = jnp.maximum(sf_t[:, 128:384] + vr_t_ref[:].astype(jnp.float32), 0.0)
+    rgb = jax.nn.sigmoid(_mm(net.astype(jnp.bfloat16), tw_out[:]) + tb_out[:])
+    r_out[:] = jnp.broadcast_to(rgb[:, 0:1], (rows, 8))
+    g_out[:] = jnp.broadcast_to(rgb[:, 1:2], (rows, 8))
+    b_out_ref[:] = jnp.broadcast_to(rgb[:, 2:3], (rows, 8))
+
+
+def fused_far_eval(
+    pw_h: Dict[str, jnp.ndarray],
+    pw_t: Dict[str, jnp.ndarray],
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    rays_o_t: jnp.ndarray,
+    rays_d_t: jnp.ndarray,
+    far,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Kernel-evaluated far-plane quantities for _bg_epilogue:
+    (sigma_h(far) [n, 1] relu'd, rgb_t(far) [n, 3])."""
+    n = rays_o.shape[0]
+    ROWS = 2048
+    n_blk = -(-n // ROWS)
+    n_pad = n_blk * ROWS
+
+    def padded(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((n_pad - n,) + x.shape[1:], x.dtype)], axis=0
+        )
+
+    coord_idx = jnp.arange(PE_PAD) % 3
+    slot_valid = (jnp.arange(PE_PAD) < 60).astype(jnp.float32)
+
+    def replicate(r):
+        return (r[:, coord_idx] * slot_valid).astype(jnp.float32)
+
+    ph = padded(replicate(rays_o + rays_d * far))
+    pt = padded(replicate(rays_o_t + rays_d_t * far))
+    vr_t = padded(view_bias(pw_t, rays_d_t).astype(jnp.bfloat16))
+    freqs = (jnp.pi * (2.0 ** (jnp.arange(PE_PAD) // 6)) / 2.0) * slot_valid
+    phase = jnp.where(
+        (jnp.arange(PE_PAD) % 6) >= 3, jnp.pi / 2.0, 0.0
+    ) * slot_valid
+
+    hw, tw = pw_h, pw_t
+    weight_ops = [
+        hw["w_in"], hw["b_in"][None], hw["w_blocks"], hw["b_blocks"],
+        hw["w_skip"], hw["b_skip"][None], hw["w_sf"], hw["b_sf"][None],
+        tw["w_in"], tw["b_in"][None], tw["w_blocks"], tw["b_blocks"],
+        tw["w_skip"], tw["b_skip"][None], tw["w_sf"], tw["b_sf"][None],
+        tw["w_out"], tw["b_out"][None],
+        tw["d_w1"], tw["d_b1"][None], tw["d_wk"], tw["d_bk"],
+        tw["d_wskip"], tw["d_bskip"][None], tw["d_wout"], tw["d_bout"][None],
+        tw["sig_pad"][None],
+    ]
+    weight_specs = [_full(op.shape) for op in weight_ops]
+
+    def row_spec(lane):
+        return pl.BlockSpec((ROWS, lane), lambda b: (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _far_kernel,
+        grid=(n_blk,),
+        in_specs=[
+            row_spec(PE_PAD), row_spec(PE_PAD), row_spec(256),
+            pl.BlockSpec((1, PE_PAD), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PE_PAD), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + weight_specs,
+        out_specs=tuple(row_spec(8) for _ in range(4)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_pad, 8), jnp.float32) for _ in range(4)
+        ),
+        interpret=interpret,
+    )(ph, pt, vr_t, freqs[None].astype(jnp.float32),
+      phase[None].astype(jnp.float32), *weight_ops)
+    sig_h = outs[0][:n, 0:1]
+    rgb_t = jnp.stack([o[:n, 0] for o in outs[1:]], axis=-1)
+    return sig_h, rgb_t
+
+
+def bg_blend(sh, ct, rays_d, rays_d_t, bc_rgb, last_dist,
+             acc_head, acc_com, t_head, t_com):
+    """The catch-all blend expressions of _bg_epilogue given the far-plane
+    field values sh = relu(sigma_h(far)) [n, 1] and ct = rgb_t(far)
+    [n, 3] (run_nerf_com_trainExpLater.py:863-886 last-sample math)."""
+    dh_l = last_dist * jnp.linalg.norm(rays_d.astype(jnp.float32), axis=-1,
+                                       keepdims=True)
+    dt_l = last_dist * jnp.linalg.norm(rays_d_t.astype(jnp.float32), axis=-1,
+                                       keepdims=True)
+    bc = bc_rgb.astype(jnp.float32)
+
+    sh_head = sh + 1e-6
+    alpha_h = 1.0 - jnp.exp(-(sh_head + 1e-6) * dh_l)
+    head = acc_head + (alpha_h * t_head) * bc
+
+    st_com = 1e-6
+    ssum = sh + st_com
+    denom = jnp.where(ssum == 0.0, 1e-4, ssum)
+    c_mix = (sh * bc + st_com * ct) / denom
+    alpha_c = 1.0 - jnp.exp(-(ssum + 1e-6) * dt_l)
+    com = acc_com + (alpha_c * t_com) * c_mix
+    return head, com
+
+
+def bg_epilogue_fused(pw_h, pw_t, rays_o, rays_d, rays_o_t, rays_d_t,
+                      z_vals, bc_rgb, last_dist, acc_head, acc_com,
+                      t_head, t_com, interpret: bool = False):
+    """_bg_epilogue with the two field evaluations done by fused_far_eval
+    (same math; the blend expressions are unchanged)."""
+    sh, ct = fused_far_eval(pw_h, pw_t, rays_o, rays_d, rays_o_t, rays_d_t,
+                            z_vals[-1], interpret=interpret)
+    return bg_blend(sh, ct, rays_d, rays_d_t, bc_rgb, last_dist,
+                    acc_head, acc_com, t_head, t_com)
 
 
 def deferred_composite(

@@ -426,8 +426,8 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
     import numpy as np
 
     from dfanerf_tpu.ops.fused_render import (
-        R_T, S_SLAB, _bg_epilogue, conservative_occupancy,
-        deferred_composite, pair_field_eval,
+        R_T, S_SLAB, bg_blend, conservative_occupancy,
+        deferred_composite, fused_far_eval, pair_field_eval,
     )
 
     T = len(perm) // R_T
@@ -453,14 +453,23 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
 
         return kern
 
+    # the catch-all far-plane field evals run as their own Pallas program
+    # (fused_far_eval: ~3.5x the XLA forward, whose [N, 384] intermediates
+    # round-trip HBM); the composite and the final blend+unpermute are
+    # XLA-only programs on either side of it
     @jax.jit
-    def composite_fn(inputs, buf_h, buf_t, occ):
+    def far_fn(inputs):
+        pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
+        return fused_far_eval(pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c[-1])
+
+    @jax.jit
+    def composite_fn(inputs, buf_h, buf_t, occ, far_vals):
         pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
         ah, ac, t_h, t_c = deferred_composite(
             buf_h, buf_t, occ, rd, rd_t, z_vals_c)
-        head, com = _bg_epilogue(
-            pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c, bc_p,
-            rcfg.last_dist, ah, ac, t_h, t_c)
+        sh, ct = far_vals
+        head, com = bg_blend(sh, ct, rd, rd_t, bc_p, rcfg.last_dist,
+                             ah, ac, t_h, t_c)
         return unpermute(head, com)
 
     buckets = [0, 128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, T * J]
@@ -509,7 +518,9 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             if ck not in kernel_cache:
                 kernel_cache[ck] = make_kernel(branch)
             bufs.append(kernel_cache[ck](pw, o, d, ti, ji))
-        return composite_fn(inputs, bufs[0], bufs[1], cache["occ"])
+        far_vals = far_fn(inputs)
+        return composite_fn(inputs, bufs[0], bufs[1], cache["occ"],
+                            far_vals)
 
     render.inputs_fn = inputs_fn
     render.refresh_union = refresh_union

@@ -439,3 +439,40 @@ class TestPairCompaction:
                                 1e10, ah, ac, t_h, t_c)
         np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_r), atol=3e-4)
         np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_r), atol=3e-4)
+
+
+class TestFusedFarEval:
+    def test_matches_xla_far_evals(self, setup):
+        """fused_far_eval's head sigma / torso rgb at the far plane match
+        the XLA epilogue's own field evaluations."""
+        from dfanerf_tpu.ops.fused_render import (
+            fused_far_eval, packed_field_xla, packed_sigma_xla, view_bias,
+        )
+
+        d = setup
+        n = 300
+        pw_h = pack_field_weights(
+            d["params"], CFG, d["sig_h"], d["z_s"], d["z_a"], "head",
+            param_dtype=jnp.bfloat16,
+        )
+        pw_t = pack_field_weights(
+            d["params"], CFG, d["sig_t"], d["z_s"], d["z_a"], "torso",
+            param_dtype=jnp.bfloat16,
+        )
+        far = d["z_vals1"][-1]
+        sh_k, ct_k = fused_far_eval(
+            pw_h, pw_t, d["rays_o"][:n], d["rays_d"][:n],
+            d["rays_o_t"][:n], d["rays_d_t"][:n], far, interpret=True,
+        )
+        pts_h = d["rays_o"][:n] + d["rays_d"][:n] * far
+        pts_t = d["rays_o_t"][:n] + d["rays_d_t"][:n] * far
+        sh_r = jnp.maximum(
+            packed_sigma_xla(pw_h, pts_h, "head", dtype=jnp.bfloat16), 0.0
+        )[:, None]
+        vb = view_bias(pw_t, d["rays_d_t"][:n]).astype(jnp.bfloat16)
+        ct_r, _ = packed_field_xla(pw_t, pts_t, vb, "torso",
+                                   dtype=jnp.bfloat16)
+        np.testing.assert_allclose(np.asarray(sh_k), np.asarray(sh_r),
+                                   atol=2e-2)
+        np.testing.assert_allclose(np.asarray(ct_k), np.asarray(ct_r),
+                                   atol=5e-3)
