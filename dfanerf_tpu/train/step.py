@@ -102,7 +102,8 @@ def sample_pixel_coords(
 
 def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
                     sparsity_lambda: float = 0.0, sparsity_points: int = 4096,
-                    sparsity_mode: str = "points"):
+                    sparsity_mode: str = "points",
+                    sparsity_cutoff: float = 10.0):
     """Build the jitted train step closed over static shapes/config.
 
     ``sparsity_lambda > 0`` enables the SERVING-BAKE variant: the shipped
@@ -122,8 +123,14 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
         ONLY at samples whose compositing weight (in both the head-only
         and composite stacks, stop-gradient'd) is below ``1e-4`` — i.e.
         density the serving renders provably never see. Surfaces are
-        untouched, so lambda can be large; this is the mode that directly
-        minimizes occupancy-flag density.
+        untouched, but ray coverage is sparse (n_points/n_samples rays
+        per step): measured on the 450p benchmark scene it cannot keep up
+        with the junk the main loss keeps growing in unsupervised space;
+      - "deadzone": the points prior gated (stop-gradient) to sigma below
+        ``sparsity_cutoff`` — junk-scale density is crushed volumetrically
+        while anything at surface scale (sigma > cutoff) is provably
+        untouched, so lambda can be large. This is the mode that
+        minimizes occupancy-flag density in practice.
     """
     from dfanerf_tpu.data.dataset import speaking_i_train
 
@@ -166,6 +173,13 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
             params["decoder"], dcfg, pts, dirs, z_shape[1], z_app[1],
             signal_torso, "torso",
         )
+        if sparsity_mode == "deadzone":
+            gate_h = jax.lax.stop_gradient(
+                (sig_h < sparsity_cutoff).astype(jnp.float32))
+            gate_t = jax.lax.stop_gradient(
+                (sig_t < sparsity_cutoff).astype(jnp.float32))
+            return (jnp.mean(cauchy(sig_h) * gate_h)
+                    + jnp.mean(cauchy(sig_t) * gate_t))
         return jnp.mean(cauchy(sig_h)) + jnp.mean(cauchy(sig_t))
 
     def visibility_sparsity_loss(params, state, data, key, w_eps=1e-4):
@@ -286,7 +300,7 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
                 loss = loss + sparsity_lambda * visibility_sparsity_loss(
                     params, state, data, k_sparse,
                 )
-            else:
+            else:  # "points" or "deadzone"
                 loss = loss + sparsity_lambda * sparsity_loss(
                     params, state["z_shape"], state["z_app"], signal,
                     signal_torso, k_sparse,
