@@ -279,22 +279,24 @@ def run(n_steps=1500, H=48, R=128, S=8, n_frames=12, log_every=100,
     # 10x across this run (identical on both sides — the comparison is
     # framework-vs-framework, not vs the 600k wall-clock schedule), and
     # average val PSNR over a trailing eval window.
-    # 100-step linear warmup: at full lr from step 0 an early loss spike
-    # can push the sigma head's pre-activation negative along every
-    # training ray, after which relu gradients are zero and the head field
-    # is permanently dead (the bg catch-all then carries the composite —
-    # the reference's loss admits this collapse too; one measured run had
-    # the jax trajectory die at a spike the torch one survived purely by
-    # fp-chaos). Warmup + the larger default R keep both trajectories in
-    # the live basin so the converged comparison measures the frameworks,
-    # not collapse roulette.
+    # NOTE on head-field collapse: the reference's loss admits a
+    # degenerate solution where the head sigma dies everywhere (relu
+    # gradients then stay zero forever) and the bg catch-all billboard
+    # carries the composite — docs/SERVING.md. Both frameworks fall into
+    # or escape that basin TOGETHER when their trajectories track (an
+    # R=512 run with lr warmup had both die in the same step — itself
+    # parity evidence, but useless for a quality comparison), so the
+    # protocol keeps the reference's full lr from step 0 (no warmup: a
+    # slow start lets the composite term entrench the billboard before
+    # the head loss carves the head) and the harness flags dead runs via
+    # head_field_dead_torch_jax.
     t_losses, j_losses = [], []
     evals = []  # (step, pt_com, pj_com, pt_head, pj_head)
     t0 = time.time()
     with jax.default_matmul_precision("highest"):
         for step in range(n_steps):
             d = batch(step)
-            lr = 5e-4 * min(1.0, (step + 1) / 100.0) * 0.1 ** (step / n_steps)
+            lr = 5e-4 * 0.1 ** (step / n_steps)
             t_losses.append(torch_step(d, lr))
             dj = {k: jnp.asarray(v) for k, v in d.items()
                   if k not in ("fi", "idx")}

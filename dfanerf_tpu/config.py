@@ -75,6 +75,14 @@ class RenderConfig:
     # pair_field_eval / deferred_composite). Strictly finer-grained than
     # occ_tile_compaction (no per-slab predication overhead, no whole-tile
     # bucketing waste); takes precedence over it when both are set.
+    occ_prune_trans: float = 1e-3  # pair-compaction early-termination:
+    # at each flag refresh, pairs whose tile-max transmittance at the slab
+    # start (from the refresh frame's own composite) is below this in
+    # every relevant stack are pruned for the window — the deferred
+    # formulation's replacement for in-kernel ERT (occupancy flags see
+    # the head's interior density; ~2-4 slabs per face tile sit entirely
+    # behind the front surface). 0 disables. Staleness across the window
+    # is measured by the benchmarks' max-error-vs-noskip discipline.
     occ_union_window: bool = True  # conservative flags for a refresh
     # window: at each refresh the flags are the UNION over the window's
     # (pose, signal) pairs, so stale-flag error within the window is

@@ -966,16 +966,18 @@ def _pair_field_kernel(
     net = jnp.maximum(sf[:, 128:384] + vr.astype(jnp.float32), 0.0)
     rgb = jax.nn.sigmoid(_mm(net.astype(jnp.bfloat16), w_out[:]) + b_out[:])
 
-    # one [S_SLAB, R_T] -> [R_T, S_SLAB] transpose per channel into its
-    # own output buffer — the same epilogue shape the sigma-only kernel
-    # uses. (A reshape(S_SLAB, R_T, 4).transpose(1, 0, 2) assembly hits an
+    # transpose-free epilogue: each channel's rows are already s-major, so
+    # a [S_SLAB, R_T]-shaped output block takes the reshape directly.
+    # (A reshape(S_SLAB, R_T, 4).transpose(1, 0, 2) assembly hits an
     # unsupported Mosaic vector reshape; a concat of four transposes
     # wedges the compiler; 8 per-slab 4-lane concats into one 32-lane
-    # block cost ~10us/step of VPU shuffles.)
-    sig_out[0] = sigma[:, 0].reshape(S_SLAB, R_T).T
-    r_out[0] = rgb[:, 0].reshape(S_SLAB, R_T).T
-    g_out[0] = rgb[:, 1].reshape(S_SLAB, R_T).T
-    b_out_ref[0] = rgb[:, 2].reshape(S_SLAB, R_T).T
+    # block cost ~10us/step of VPU shuffles.) rgb is stored bf16 (the
+    # composite's precision contract keeps sigma/alphas fp32; colors are
+    # sigmoid-bounded and bf16-safe), halving the buffer traffic.
+    sig_out[0] = sigma[:, 0].reshape(S_SLAB, R_T)
+    r_out[0] = rgb[:, 0].reshape(S_SLAB, R_T).astype(jnp.bfloat16)
+    g_out[0] = rgb[:, 1].reshape(S_SLAB, R_T).astype(jnp.bfloat16)
+    b_out_ref[0] = rgb[:, 2].reshape(S_SLAB, R_T).astype(jnp.bfloat16)
 
 
 def pair_field_eval(
@@ -994,10 +996,10 @@ def pair_field_eval(
     z_vals [S] shared; t_idx/j_idx [K] int32 pair coordinates — padding
     pairs use t_idx == n_tiles (the dummy tile row).
 
-    Returns a 4-tuple of dense per-sample channel buffers (relu sigma,
-    sigmoid r, g, b), each [n_slabs, (n_tiles+1)*R_T, S_SLAB] fp32. Only
-    listed pairs' blocks are written — callers MUST mask reads with the
-    occupancy flags that built the list (deferred_composite does).
+    Returns a 4-tuple of dense per-sample channel buffers (relu sigma
+    fp32; sigmoid r, g, b bf16), each [n_slabs, S_SLAB, (n_tiles+1)*R_T].
+    Only listed pairs' blocks are written — callers MUST mask reads with
+    the occupancy flags that built the list (deferred_composite does).
     """
     n = rays_o.shape[0]
     S = z_vals.shape[0]
@@ -1008,8 +1010,9 @@ def pair_field_eval(
         # nothing occupied for this field this frame — the composite masks
         # every slab off, so any buffer contents work; zeros are cheapest
         return tuple(
-            jnp.zeros((n_slabs, (n_tiles + 1) * R_T, S_SLAB), jnp.float32)
-            for _ in range(4)
+            jnp.zeros((n_slabs, S_SLAB, (n_tiles + 1) * R_T),
+                      jnp.float32 if c == 0 else jnp.bfloat16)
+            for c in range(4)
         )
 
     coord_idx = jnp.arange(PE_PAD) % 3
@@ -1069,7 +1072,7 @@ def pair_field_eval(
         ] + weight_specs,
         out_specs=tuple(
             pl.BlockSpec(
-                (1, R_T, S_SLAB), lambda k, ti, ji: (ji[k], ti[k], 0),
+                (1, S_SLAB, R_T), lambda k, ti, ji: (ji[k], 0, ti[k]),
                 memory_space=pltpu.VMEM,
             ) for _ in range(4)
         ),
@@ -1079,8 +1082,9 @@ def pair_field_eval(
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct(
-                (n_slabs, (n_tiles + 1) * R_T, S_SLAB), jnp.float32
-            ) for _ in range(4)
+                (n_slabs, S_SLAB, (n_tiles + 1) * R_T),
+                jnp.float32 if c == 0 else jnp.bfloat16,
+            ) for c in range(4)
         ),
         interpret=interpret,
     )(t_idx.astype(jnp.int32), j_idx.astype(jnp.int32), z_rows,
@@ -1259,12 +1263,14 @@ def deferred_composite(
     _render_kernel's in-register march (bg_epilogue mode: the catch-all
     sample is the caller's _bg_epilogue), vectorized over [n, S] in XLA.
 
-    buf_h/buf_t are pair_field_eval 4-tuples. occ [2, T, J] masks every
-    (tile, slab) a pair list may have skipped (where(flag, x, 0) also
-    stops NaN garbage from unwritten blocks). Returns
-    (acc_head [n,3], acc_com [n,3], t_head [n,1], t_com [n,1]).
+    buf_h/buf_t are pair_field_eval 4-tuples ([J, S_SLAB, NT]; sigma fp32,
+    rgb bf16). occ [2, T, J] masks every (tile, slab) a pair list may have
+    skipped (where(flag, x, 0) also stops NaN garbage from unwritten
+    blocks). Returns (acc_head [n,3], acc_com [n,3], t_head [n,1],
+    t_com [n,1], tile_trans_head [T,J], tile_trans_com [T,J]).
     """
-    J, NT, _ = buf_h[0].shape
+    J = buf_h[0].shape[0]
+    NT = buf_h[0].shape[2]
     n = rays_d.shape[0]
     S = z_vals.shape[0]
     T = n // R_T
@@ -1276,9 +1282,9 @@ def deferred_composite(
         flag = jnp.repeat(flag, S_SLAB, axis=1)  # [n, S]
 
         def chan(buf):
-            x = buf.reshape(J, NT // R_T, R_T, S_SLAB)[:, :T]
-            x = x.transpose(1, 2, 0, 3).reshape(n, S)
-            return jnp.where(flag, x, 0.0)
+            x = buf.reshape(J, S_SLAB, NT // R_T, R_T)[:, :, :T]
+            x = x.transpose(2, 3, 0, 1).reshape(n, S)
+            return jnp.where(flag, x.astype(jnp.float32), 0.0)
 
         sigma = chan(bufs[0])
         rgb = jnp.stack([chan(b) for b in bufs[1:]], axis=-1)  # [n, S, 3]
@@ -1319,7 +1325,18 @@ def deferred_composite(
         ), axis=1,
     )
     acc_com = ((alpha_c * t_c[:, :-1])[..., None] * c_mix).sum(axis=1)
-    return acc_head, acc_com, t_h[:, -1:], t_c[:, -1:]
+
+    # per-(tile, slab) transmittance maxima at slab starts: the caller's
+    # refresh uses them to PRUNE pairs behind saturated opacity — the
+    # early-ray-termination the deferred formulation otherwise loses
+    # (occupancy flags see the head's interior density; face tiles flag
+    # 3-5 slabs deep where only the front surface contributes)
+    def tile_trans(t):
+        starts = t[:, 0:S:S_SLAB]  # [n, J]
+        return starts.reshape(T, R_T, J).max(axis=1)
+
+    return (acc_head, acc_com, t_h[:, -1:], t_c[:, -1:],
+            tile_trans(t_h), tile_trans(t_c))
 
 
 # ---------------------------------------------------------------------------

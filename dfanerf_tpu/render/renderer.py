@@ -465,12 +465,12 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
     @jax.jit
     def composite_fn(inputs, buf_h, buf_t, occ, far_vals):
         pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
-        ah, ac, t_h, t_c = deferred_composite(
+        ah, ac, t_h, t_c, tm_h, tm_c = deferred_composite(
             buf_h, buf_t, occ, rd, rd_t, z_vals_c)
         sh, ct = far_vals
         head, com = bg_blend(sh, ct, rd, rd_t, bc_p, rcfg.last_dist,
                              ah, ac, t_h, t_c)
-        return unpermute(head, com)
+        return unpermute(head, com), tm_h, tm_c
 
     buckets = [0, 128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, T * J]
 
@@ -505,8 +505,9 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                signal_torso, bc_img):
         inputs = inputs_fn(params, z_shape, z_app, pose, pose_torso,
                            signal, signal_torso, bc_img)
-        if (cache["lists"] is None
-                or cache["age"] >= max(rcfg.occ_refresh_every, 1)):
+        refreshed = (cache["lists"] is None
+                     or cache["age"] >= max(rcfg.occ_refresh_every, 1))
+        if refreshed:
             set_flags(occ_fn(inputs))
         cache["age"] += 1
         pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
@@ -519,8 +520,23 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                 kernel_cache[ck] = make_kernel(branch)
             bufs.append(kernel_cache[ck](pw, o, d, ti, ji))
         far_vals = far_fn(inputs)
-        return composite_fn(inputs, bufs[0], bufs[1], cache["occ"],
-                            far_vals)
+        imgs, tm_h, tm_c = composite_fn(inputs, bufs[0], bufs[1],
+                                        cache["occ"], far_vals)
+        if refreshed and rcfg.occ_prune_trans > 0:
+            # early-termination pruning for the rest of the window: a pair
+            # whose tile-max transmittance at the slab start (this frame's
+            # own composite) is saturated in every stack it feeds cannot
+            # contribute more than occ_prune_trans per channel
+            eps = rcfg.occ_prune_trans
+            tm_h_np = np.asarray(tm_h)
+            tm_c_np = np.asarray(tm_c)
+            occ_np = np.asarray(cache["occ"])
+            keep_h = (np.maximum(tm_h_np, tm_c_np) > eps)
+            keep_t = (tm_c_np > eps)
+            pruned = np.stack([occ_np[0] * keep_h, occ_np[1] * keep_t])
+            set_flags(pruned)
+            cache["age"] = 1  # this frame consumed the refresh
+        return imgs
 
     render.inputs_fn = inputs_fn
     render.refresh_union = refresh_union

@@ -363,7 +363,7 @@ class TestPairCompaction:
                                 interpret=True)
         buf_t = pair_field_eval(pw_t, "torso", ro_t, rd_t, z, tt, jt,
                                 interpret=True)
-        ah, ac, t_h, t_c = deferred_composite(
+        ah, ac, t_h, t_c, _, _ = deferred_composite(
             buf_h, buf_t, jnp.asarray(occ), rd, rd_t, z)
         return _bg_epilogue(pw_h, pw_t, ro, rd, ro_t, rd_t, z, bc,
                             1e10, ah, ac, t_h, t_c)
@@ -422,17 +422,18 @@ class TestPairCompaction:
         from dfanerf_tpu.ops.fused_render import deferred_composite
 
         # pack the masked fields into deferred_composite-shaped buffers
-        # (pair_field_eval 4-tuple: per-channel [J, (T+1)*R_T, S_SLAB])
+        # (pair_field_eval 4-tuple: per-channel [J, S_SLAB, (T+1)*R_T])
         def to_buf(sig, rgb):
-            def chan(c):  # c [n, S]
+            def chan(c, dt):  # c [n, S]
                 x = c.reshape(n // R_T, R_T, S // S_SLAB, S_SLAB)
-                x = x.transpose(2, 0, 1, 3).reshape(S // S_SLAB, n, S_SLAB)
-                pad = jnp.zeros((S // S_SLAB, R_T, S_SLAB))
-                return jnp.concatenate([x, pad], axis=1)
+                x = x.transpose(2, 3, 0, 1).reshape(S // S_SLAB, S_SLAB, n)
+                pad = jnp.zeros((S // S_SLAB, S_SLAB, R_T))
+                return jnp.concatenate([x, pad], axis=2).astype(dt)
 
-            return (chan(sig),) + tuple(chan(rgb[..., i]) for i in range(3))
+            return (chan(sig, jnp.float32),) + tuple(
+                chan(rgb[..., i], jnp.bfloat16) for i in range(3))
 
-        ah, ac, t_h, t_c = deferred_composite(
+        ah, ac, t_h, t_c, _, _ = deferred_composite(
             to_buf(sig_h, rgb_h), to_buf(sig_t, rgb_t),
             jnp.ones((2, 2, 2), jnp.int32), rd, rd_t, z)
         h_r, c_r = _bg_epilogue(pw_h, pw_t, ro, rd, ro_t, rd_t, z, bc,
