@@ -348,12 +348,178 @@ def run(n_steps=1500, H=48, R=128, S=8, n_frames=12, log_every=100,
 
 
 def main():
+    if "--selfchaos" in sys.argv:
+        sys.argv.remove("--selfchaos")
+        print(json.dumps(torch_self_divergence(
+            int(sys.argv[1]) if len(sys.argv) > 1 else 1500)))
+        return
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
     H = int(sys.argv[2]) if len(sys.argv) > 2 else 48
     R = int(sys.argv[3]) if len(sys.argv) > 3 else 512
     S = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     seed = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     print(json.dumps(run(n_steps, H, R, S, seed=seed)))
+
+
+
+
+def torch_self_divergence(n_steps=1500, H=64, R=512, S=8, n_frames=12,
+                          perturb=1e-6, log_every=100):
+    """Chaos control: train the REFERENCE'S OWN modules twice — identical
+    batches, one replica with a single weight perturbed by ``perturb`` —
+    and record the loss-ratio trajectory. If this splits to the same
+    orders of magnitude as the torch-vs-jax overlay, the cross-framework
+    gap is trajectory chaos (sensitivity to fp-level differences), not a
+    framework defect. Reuses run()'s scene/batch protocol."""
+    import copy
+
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    sys.path.insert(0, os.path.join(REFERENCE, "NeRFs", "DFANeRF"))
+    from decoder import Decoder as TorchDecoder
+    from run_nerf_helpers import AudioNet_W2L, ExpressionEnc
+
+    import jax
+    import jax.numpy as jnp
+
+    from dfanerf_tpu.core.posenc import et_embed
+    from dfanerf_tpu.core.geometry import pose_to_euler_trans
+    from dfanerf_tpu.core.rays import get_rays
+    from dfanerf_tpu.data import make_synthetic_dataset
+
+    jax.config.update("jax_platforms", "cpu")
+    ds = make_synthetic_dataset(n_frames=n_frames, H=H, W=H, n_samples_gt=64)
+    Hh, Ww, focal, cx, cy = ds.hwfcxy
+    i_train = np.asarray(ds.i_train)
+
+    torch.manual_seed(0)
+    reps = []
+    for r in range(2):
+        torch.manual_seed(0)
+        tdec = TorchDecoder(z_dim=256, hidden_size=256, dim_signal=96,
+                            use_deformation_field=True)
+        taud = AudioNet_W2L()
+        texp = ExpressionEnc()
+        if r == 1:
+            with torch.no_grad():
+                w = next(tdec.parameters())
+                w.view(-1)[0] += perturb
+        opts = [torch.optim.Adam(m.parameters(), lr=5e-4)
+                for m in (tdec, taud)]
+        reps.append((tdec, taud, texp, opts))
+
+    rng = np.random.RandomState(7)
+    z_s = rng.randn(2, 256).astype(np.float32)
+    z_a = rng.randn(2, 256).astype(np.float32)
+    rays_all_o, rays_all_d = [], []
+    for i in range(n_frames):
+        ro, rd = get_rays(int(Hh), int(Ww), focal, jnp.asarray(ds.poses[i]),
+                          cx, cy)
+        rays_all_o.append(np.asarray(ro).reshape(-1, 3))
+        rays_all_d.append(np.asarray(rd).reshape(-1, 3))
+    rays_all_o = np.stack(rays_all_o)
+    rays_all_d = np.stack(rays_all_d)
+    et_all = np.asarray(et_embed(
+        pose_to_euler_trans(jnp.asarray(ds.poses)), 3))
+    z_np = np.broadcast_to(
+        np.linspace(ds.near, ds.far, S, dtype=np.float32), (R, S)).copy()
+    imgs_head = np.asarray(ds.imgs_head, np.float32) / 255.0
+    imgs_com = np.asarray(ds.imgs_com, np.float32) / 255.0
+    bc = (np.asarray(ds.bc_img, np.float32) / 255.0).reshape(-1, 3)
+
+    def batch(step):
+        b = np.random.RandomState(10_000 + step)
+        fi = int(i_train[b.randint(len(i_train))])
+        idx = b.choice(Hh * Ww, R, replace=False)
+        return dict(
+            fi=fi, aud=np.asarray(ds.auds[fi])[None],
+            exp=np.asarray(ds.exps[fi])[None], et=et_all[fi],
+            ro=rays_all_o[fi][idx], rd=rays_all_d[fi][idx],
+            ro_t=rays_all_o[0][idx], rd_t=rays_all_d[0][idx],
+            bc=bc[idx], th=imgs_head[fi].reshape(-1, 3)[idx],
+            tc=imgs_com[fi].reshape(-1, 3)[idx],
+        )
+
+    def step_rep(rep, d, lr):
+        tdec, taud, texp, opts = rep
+        for opt in opts:
+            for g in opt.param_groups:
+                g["lr"] = lr
+        n = d["ro"].shape[0]
+        signal = torch.cat(
+            [taud(torch.tensor(d["aud"])), texp(torch.tensor(d["exp"]))], 1)
+        tz = torch.tensor(np.broadcast_to(z_np[0], (n, S)).copy())
+
+        def field(o, di, sig, zi_s, zi_a, branch):
+            pts = torch.tensor(o)[:, None, :] + \
+                torch.tensor(di)[:, None, :] * tz[..., None]
+            rd_ = torch.tensor(di)[:, None, :].expand(n, S, 3)
+            feat, sigma = tdec(pts.reshape(1, -1, 3), rd_.reshape(1, -1, 3),
+                               torch.tensor(zi_s[None]),
+                               torch.tensor(zi_a[None]), sig, branch)
+            return feat.reshape(n, S, 3), sigma.reshape(n, S)
+
+        feat_h, sig_h = field(d["ro"], d["rd"], [signal, None],
+                              z_s[0], z_a[0], "head")
+        feat_t, sig_t = field(d["ro_t"], d["rd_t"],
+                              torch.tensor(d["et"][None]),
+                              z_s[1], z_a[1], "torso")
+        sig_h, sig_t = F.relu(sig_h), F.relu(sig_t)
+        feat_h = torch.cat(
+            [feat_h[:, :-1], torch.tensor(d["bc"])[:, None, :]], 1)
+        bump = torch.zeros(n, S)
+        bump[:, -1] = 1e-6
+        sig_hh = sig_h + bump
+        sig_tc = sig_t.clone()
+        sig_tc[:, -1] = 0.0
+        sig_tc = sig_tc + bump
+
+        def weights(rd_, sigma):
+            dists = tz[:, 1:] - tz[:, :-1]
+            dists = torch.cat(
+                [dists, torch.full_like(dists[:, :1], 1e10)], 1)
+            dists = dists * torch.tensor(rd_).norm(dim=-1, keepdim=True)
+            alpha = 1 - torch.exp(-(F.relu(sigma) + 1e-6) * dists)
+            trans = torch.cumprod(torch.cat(
+                [torch.ones(n, 1), 1 - alpha + 1e-10], 1), 1)[:, :-1]
+            return alpha * trans
+
+        rgb_head = (weights(d["rd"], sig_hh)[..., None] * feat_h).sum(1)
+        ssum = sig_h + sig_tc
+        denom = ssum.clone()
+        denom[denom == 0] = 1e-4
+        cmix = (sig_h[..., None] * feat_h + sig_tc[..., None] * feat_t) \
+            / denom[..., None]
+        rgb_com = (weights(d["rd_t"], ssum)[..., None] * cmix).sum(1)
+        loss = F.mse_loss(rgb_head, torch.tensor(d["th"])) + \
+            F.mse_loss(rgb_com, torch.tensor(d["tc"]))
+        for opt in opts:
+            opt.zero_grad()
+        loss.backward()
+        for opt in opts:
+            opt.step()
+        return float(loss.detach())
+
+    ratios, l0s, l1s = [], [], []
+    for step in range(n_steps):
+        d = batch(step)
+        lr = 5e-4 * 0.1 ** (step / n_steps)
+        l0 = step_rep(reps[0], d, lr)
+        l1 = step_rep(reps[1], d, lr)
+        l0s.append(l0)
+        l1s.append(l1)
+        ratios.append(max(l0, l1) / max(min(l0, l1), 1e-12))
+        if step % log_every == 0:
+            print(f"[selfchaos] step {step} l0={l0:.5f} l1={l1:.5f} "
+                  f"ratio={ratios[-1]:.2f}", file=sys.stderr, flush=True)
+    return {
+        "perturb": perturb, "n_steps": n_steps,
+        "max_loss_ratio": max(ratios),
+        "final_losses": [l0s[-1], l1s[-1]],
+        "ratio_every100": ratios[::100],
+    }
 
 
 if __name__ == "__main__":

@@ -1154,7 +1154,9 @@ def fused_far_eval(
     """Kernel-evaluated far-plane quantities for _bg_epilogue:
     (sigma_h(far) [n, 1] relu'd, rgb_t(far) [n, 3])."""
     n = rays_o.shape[0]
-    ROWS = 2048
+    # 1024-row blocks: both fields' weights + two PE blocks + fp32 [rows,
+    # 384] trunk outputs exceed the 16 MB scoped-vmem limit at 2048 rows
+    ROWS = 1024
     n_blk = -(-n // ROWS)
     n_pad = n_blk * ROWS
 
