@@ -123,9 +123,7 @@ def main():
             os.path.abspath(__file__)), "benchmarks"))
         import serve_trained
 
-        trained = serve_trained.run(
-            n_train=4000, occ_thresh=0.5, bake_steps=800, bake_lambda=5e-4
-        )
+        trained = serve_trained.run()
 
     headline = trained["value"] if trained else fps
     mrays = headline * H * W / 1e6  # rays/frame through the 2-field pipeline

@@ -1270,6 +1270,11 @@ def deferred_composite(
     skipped (where(flag, x, 0) also stops NaN garbage from unwritten
     blocks). Returns (acc_head [n,3], acc_com [n,3], t_head [n,1],
     t_com [n,1], tile_trans_head [T,J], tile_trans_com [T,J]).
+
+    The whole pass runs in the buffers' NATIVE [S, n] orientation — no
+    [n, S] transpose is ever materialized (the two 220 MB transposes of
+    the ray-major formulation dominated its runtime); the cumprods scan
+    the leading sample axis over [n]-vectors.
     """
     J = buf_h[0].shape[0]
     NT = buf_h[0].shape[2]
@@ -1278,19 +1283,17 @@ def deferred_composite(
     T = n // R_T
 
     def unpack(bufs, occ_f):
-        flag = jnp.repeat(
-            occ_f.astype(bool), R_T, axis=0
-        ).reshape(n, J)
-        flag = jnp.repeat(flag, S_SLAB, axis=1)  # [n, S]
+        # [S, n] per channel; flag [T, J] -> [J, S_SLAB, T, R_T] broadcast
+        flag = occ_f.astype(bool).T[:, None, :, None]
 
         def chan(buf):
             x = buf.reshape(J, S_SLAB, NT // R_T, R_T)[:, :, :T]
-            x = x.transpose(2, 3, 0, 1).reshape(n, S)
-            return jnp.where(flag, x.astype(jnp.float32), 0.0)
+            x = jnp.where(flag, x.astype(jnp.float32), 0.0)
+            return x.reshape(S, n)
 
         sigma = chan(bufs[0])
-        rgb = jnp.stack([chan(b) for b in bufs[1:]], axis=-1)  # [n, S, 3]
-        return sigma, rgb
+        rgbs = tuple(chan(b) for b in bufs[1:])  # 3 x [S, n]
+        return sigma, rgbs
 
     sig_h, rgb_h = unpack(buf_h, occ[0])
     sig_t, rgb_t = unpack(buf_t, occ[1])
@@ -1301,44 +1304,44 @@ def deferred_composite(
     )
 
     def dists_for(rd):
-        return diffs[None, :] * jnp.linalg.norm(
-            rd.astype(jnp.float32), axis=-1, keepdims=True
-        )
+        return diffs[:, None] * jnp.linalg.norm(
+            rd.astype(jnp.float32), axis=-1
+        )[None, :]
 
-    d_h = dists_for(rays_d)
+    d_h = dists_for(rays_d)  # [S, n]
     d_t = dists_for(rays_d_t)
 
+    def march(alpha, colors):
+        # transmittance scan along the leading sample axis; returns the
+        # accumulated color [n, 3], final transmittance [n, 1], and the
+        # per-slab-start transmittances [J, n]
+        t = jnp.cumprod(1.0 - alpha + 1e-10, axis=0)
+        t_prev = jnp.concatenate([jnp.ones((1, n)), t[:-1]], axis=0)
+        w = alpha * t_prev
+        acc = jnp.stack([(w * c).sum(axis=0) for c in colors], axis=-1)
+        return acc, t[-1:].T, t_prev[0:S:S_SLAB]
+
     alpha_h = 1.0 - jnp.exp(-(sig_h + 1e-6) * d_h)
-    t_h = jnp.cumprod(
-        jnp.concatenate(
-            [jnp.ones((n, 1)), 1.0 - alpha_h + 1e-10], axis=1
-        ), axis=1,
-    )
-    acc_head = ((alpha_h * t_h[:, :-1])[..., None] * rgb_h).sum(axis=1)
+    acc_head, tl_h, starts_h = march(alpha_h, rgb_h)
 
     ssum = sig_h + sig_t
     denom = jnp.where(ssum == 0.0, 1e-4, ssum)
-    c_mix = (sig_h[..., None] * rgb_h + sig_t[..., None] * rgb_t) \
-        / denom[..., None]
-    alpha_c = 1.0 - jnp.exp(-(ssum + 1e-6) * d_t)
-    t_c = jnp.cumprod(
-        jnp.concatenate(
-            [jnp.ones((n, 1)), 1.0 - alpha_c + 1e-10], axis=1
-        ), axis=1,
+    c_mix = tuple(
+        (sig_h * ch + sig_t * ct) / denom
+        for ch, ct in zip(rgb_h, rgb_t)
     )
-    acc_com = ((alpha_c * t_c[:, :-1])[..., None] * c_mix).sum(axis=1)
+    alpha_c = 1.0 - jnp.exp(-(ssum + 1e-6) * d_t)
+    acc_com, tl_c, starts_c = march(alpha_c, c_mix)
 
     # per-(tile, slab) transmittance maxima at slab starts: the caller's
-    # refresh uses them to PRUNE pairs behind saturated opacity — the
-    # early-ray-termination the deferred formulation otherwise loses
-    # (occupancy flags see the head's interior density; face tiles flag
-    # 3-5 slabs deep where only the front surface contributes)
-    def tile_trans(t):
-        starts = t[:, 0:S:S_SLAB]  # [n, J]
-        return starts.reshape(T, R_T, J).max(axis=1)
+    # refresh MAY use them to prune pairs behind saturated opacity (on
+    # scenes whose tiles fully saturate; silhouette tiles always carry a
+    # T=1 background ray, so this is scene-dependent)
+    def tile_trans(starts):  # [J, n]
+        return starts.reshape(J, T, R_T).max(axis=2).T
 
-    return (acc_head, acc_com, t_h[:, -1:], t_c[:, -1:],
-            tile_trans(t_h), tile_trans(t_c))
+    return (acc_head, acc_com, tl_h, tl_c,
+            tile_trans(starts_h), tile_trans(starts_c))
 
 
 # ---------------------------------------------------------------------------

@@ -10,6 +10,7 @@ per-tile body for the speed-of-light path.)
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -479,8 +480,11 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
 
     cache = {"age": 0, "lists": None, "occ": None}
 
-    def set_flags(occ):
+    def set_flags(occ, tag="flags"):
         occ_np = np.asarray(occ)
+        if os.environ.get("DFANERF_DEBUG_COMPACTION"):
+            print(f"[pairs:{tag}] head={int(occ_np[0].sum())} "
+                  f"torso={int(occ_np[1].sum())}", flush=True)
         lists = []
         for f in range(2):
             t_i, j_i = np.nonzero(occ_np[f])
@@ -534,7 +538,7 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             keep_h = (np.maximum(tm_h_np, tm_c_np) > eps)
             keep_t = (tm_c_np > eps)
             pruned = np.stack([occ_np[0] * keep_h, occ_np[1] * keep_t])
-            set_flags(pruned)
+            set_flags(pruned, tag="pruned")
             cache["age"] = 1  # this frame consumed the refresh
         return imgs
 
