@@ -116,19 +116,21 @@ def _log(msg):
     print(f"[serve_trained] {msg}", file=sys.stderr, flush=True)
 
 
-def run(n_train=6000, occ_thresh=2.0, bake_steps=1200, bake_lambda=5e-3):
+def run(n_train=6000, occ_thresh=2.0, bake_steps=1200, bake_lambda=2e-2,
+        bake_mode="deadzone", bake_cutoff=1.0):
     """Train + bake + serve; returns the result dict (main() prints it).
 
     Recipe notes (measured on the 450p synthetic scene):
     - n_train 6000: +1.5-2 dB com PSNR over 4000 (the scene is still
       improving; training costs ~18 s/1000 steps);
-    - bake lambda 5e-3 ("strongbake", Cauchy at uniform points): crushes
-
-      unsupervised junk (torso flags ~6x fewer) at ~-0.5 dB; the
-      visibility-gated and sigma-deadzone variants measured strictly
-      worse tradeoffs (train/step.py sparsity_mode docstring);
-    - occ_thresh 2.0 with the supersampled grid: max skip error ~0.018
-      at refresh_every=8.
+    - bake: DEADZONE mode with cutoff 1.0 — penalize only sigma below
+      junk scale, which provably cannot touch surfaces. The unrestricted
+      Cauchy prior is collapse-UNSTABLE from a converged state: even
+      lambda 5e-4 measured killing the head field outright (head 46.9 ->
+      25.5 dB, the billboard basin) — hence the post-bake quality gate
+      below;
+    - occ_thresh 2.0 with the supersampled grid; refresh_every=8 with
+      the max skip error measured on this exact scene.
     """
     base = dict(n_samples=64, use_fused_kernel=True, compute_dtype="bfloat16")
     cfg0 = ExperimentConfig(
@@ -149,12 +151,27 @@ def run(n_train=6000, occ_thresh=2.0, bake_steps=1200, bake_lambda=5e-3):
 
     t0 = time.time()
     _log("baking...")
+    state_prebake = state
     bake = make_train_step(cfg0, ds, sparsity_lambda=bake_lambda,
-                           sparsity_points=16384)
+                           sparsity_points=16384,
+                           sparsity_mode=bake_mode,
+                           sparsity_cutoff=bake_cutoff)
     state, m, key = run_steps(bake, state, data, bake_steps, key)
     bake_s = time.time() - t0
     _log(f"baked in {bake_s:.0f}s; eval psnr...")
     psnr_baked, psnr_head_baked = val_psnr(cfg0, ds, state, data)
+
+    # collapse gate: the head-field death basin (docs/SERVING.md) is
+    # reachable from a converged state under sparsity pressure — a bake
+    # that costs >2 dB on either metric is REJECTED and serving runs on
+    # the un-baked weights (slower, honest; the artifact records it)
+    bake_rejected = (psnr_baked < psnr_trained - 2.0
+                     or psnr_head_baked < psnr_head_trained - 2.0)
+    if bake_rejected:
+        _log(f"bake REJECTED (com {psnr_trained:.2f}->{psnr_baked:.2f}, "
+             f"head {psnr_head_trained:.2f}->{psnr_head_baked:.2f}); "
+             "serving un-baked weights")
+        state = state_prebake
 
     # serving: no-skip baseline vs the pair-compacted occupancy path on
     # the SAME weights
@@ -201,9 +218,12 @@ def run(n_train=6000, occ_thresh=2.0, bake_steps=1200, bake_lambda=5e-3):
             "train_steps": n_train,
             "bake_steps": bake_steps,
             "bake_lambda": bake_lambda,
+            "bake_mode": bake_mode,
+            "bake_cutoff": bake_cutoff,
+            "bake_rejected": bool(bake_rejected),
             "occ_sigma_thresh": occ_thresh,
             "occ_grid_res": 48,
-            "occ_refresh_every": 4,
+            "occ_refresh_every": 8,
             "train_seconds": round(train_s, 1),
             "bake_seconds": round(bake_s, 1),
             # scene-regime transparency (see docs/SERVING.md "What the
@@ -317,8 +337,8 @@ def main(*args, **kwargs):
 
 if __name__ == "__main__":
     main(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 4000,
-        float(sys.argv[2]) if len(sys.argv) > 2 else 0.5,
-        int(sys.argv[3]) if len(sys.argv) > 3 else 800,
-        float(sys.argv[4]) if len(sys.argv) > 4 else 5e-4,
+        int(sys.argv[1]) if len(sys.argv) > 1 else 6000,
+        float(sys.argv[2]) if len(sys.argv) > 2 else 2.0,
+        int(sys.argv[3]) if len(sys.argv) > 3 else 1200,
+        float(sys.argv[4]) if len(sys.argv) > 4 else 5e-3,
     )
