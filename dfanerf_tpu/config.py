@@ -83,6 +83,17 @@ class RenderConfig:
     # the head's interior density; ~2-4 slabs per face tile sit entirely
     # behind the front surface). 0 disables. Staleness across the window
     # is measured by the benchmarks' max-error-vs-noskip discipline.
+    occ_prune_contrib: float = 0.0  # pair-compaction visibility pruning:
+    # at flag refreshes (and in refresh_union serving prep), drop pairs
+    # whose max-ray summed compositing-weight contribution — head-stack
+    # weight + composite weight x the field's density-mix fraction, from
+    # deferred_composite — is below this in every stack. Unlike the
+    # transmittance prune this kills junk floaters on background rays
+    # (transmittance 1, near-zero alpha), i.e. the density that otherwise
+    # needed a gradient-descent "serving bake" to clear — with the model
+    # weights untouched, so val PSNR is exactly the trained model's.
+    # Skipping a sub-eps pair changes a ray by <= ~n_slabs*eps/channel;
+    # benchmarks report the realized max error vs no-skip. 0 disables.
     occ_union_window: bool = True  # conservative flags for a refresh
     # window: at each refresh the flags are the UNION over the window's
     # (pose, signal) pairs, so stale-flag error within the window is
@@ -132,6 +143,29 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
+    distortion_lambda: float = 0.0  # opt-in serving-oriented regularizer:
+    # mip-NeRF-360-style distortion loss on BOTH stacks' compositing
+    # weights over the training rays (catch-all bg sample included at the
+    # far endpoint). Compacts each ray's weight distribution into thin
+    # intervals and pushes diffuse "fog" mass (density painted across the
+    # frustum to imitate the background) onto the catch-all — the trained
+    # field then has few occupied (tile, slab) pairs, which is what the
+    # serving path's occupancy compaction feeds on. Acts only through the
+    # supervised rays' weight structure (no off-ray density term), so the
+    # photometric loss counteracts surface damage at the same points —
+    # unlike post-hoc sparsity bakes, which measured collapse-unstable
+    # (docs/SERVING.md). NOT part of the reference recipe; 0 = off.
+    distortion_stacks: str = "com"  # which stacks the distortion term
+    # covers: "com" (composite only — the stack the frustum fog lives in;
+    # the head-only stack is left alone, because its surface-vs-catch-all
+    # pressure on silhouette rays is what measured billboard collapse at
+    # lambda >= 1e-2) or "both".
+    distortion_from: int = 2000  # enable the distortion term only after
+    # this step: from a cold start the fields are diffuse everywhere and
+    # immediate compaction pressure feeds the billboard basin (all weight
+    # on the catch-all). By 2000 steps the head volume is formed
+    # (~45 dB on the benchmark scene) and compaction is shaping, not
+    # erasing.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -55,6 +55,13 @@ class DecoderConfig:
     use_expression: bool = False
     dim_w2lfeature: int = 512
     use_wav2lip: bool = False
+    density_activation: str = "relu"  # sigma activation applied by the
+    # RENDER paths (fields.py, the fused kernels, occupancy): "relu" is
+    # the reference's semantics; "softplus" removes the dead-ReLU
+    # head-collapse trap (ops/fused_render.py density_act) and is the
+    # recommended mode when training with the serving regularizers
+    # (TrainConfig.distortion_lambda). Checkpoints must be rendered with
+    # the activation they were trained under.
 
     @property
     def dim_embed(self) -> int:

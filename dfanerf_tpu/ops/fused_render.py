@@ -27,6 +27,7 @@ for the geometry-conservative flag construction and its caveats).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -126,6 +127,24 @@ def _mm(x, w):
     )
 
 
+def density_act(x: jnp.ndarray, act: str = "relu") -> jnp.ndarray:
+    """Density activation applied to the decoder's raw sigma output.
+
+    "relu" is the reference's semantics (run_nerf_com_trainExpLater.py:
+    865-871); "softplus" (stable max+log1p form, Pallas-safe) is the
+    opt-in training/serving mode that removes the dead-ReLU head-collapse
+    trap: with relu, once the head field's raw sigma goes negative along
+    its rays the photometric gradient is EXACTLY zero and the torso
+    billboard basin is absorbing (measured raw sigma driven to -800, see
+    docs/SERVING.md); with softplus the head loss's counterforce never
+    vanishes, so regularized training (distortion/sparsity) cannot
+    silently kill the field. Weights trained under one activation must be
+    rendered under the same one."""
+    if act == "softplus":
+        return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    return jnp.maximum(x, 0.0)
+
+
 def _render_kernel(
     # per-(tile, slab) data
     occ_ref, dists_h_ref, dists_t_ref, z_ref,
@@ -146,7 +165,7 @@ def _render_kernel(
     # scratch: transmittances, accumulators
     t_head, t_com, acc_head, acc_com,
     *, n_slabs: int, ert_eps: float, bg_in_kernel: bool = True,
-    eval_head: bool = True, eval_torso: bool = True,
+    eval_head: bool = True, eval_torso: bool = True, act: str = "relu",
 ):
     t = pl.program_id(0)
     j = pl.program_id(1)
@@ -217,7 +236,7 @@ def _render_kernel(
         rgb_h = jax.nn.sigmoid(
             _mm(net_h.astype(jnp.bfloat16), hw_out[:]) + hb_out[:]
         )  # [rows, 128]; cols 0:3 valid
-        return jnp.maximum(sf_h[:, 0:1], 0.0), rgb_h
+        return density_act(sf_h[:, 0:1], act), rgb_h
 
     def torso_eval():
         # deform then trunk
@@ -239,7 +258,7 @@ def _render_kernel(
         rgb_t = jax.nn.sigmoid(
             _mm(net_t.astype(jnp.bfloat16), tw_out[:]) + tb_out[:]
         )
-        return jnp.maximum(sf_t[:, 0:1], 0.0), rgb_t
+        return density_act(sf_t[:, 0:1], act), rgb_t
 
     def composite(sigma_h, rgb_h, sigma_t, rgb_t):
         # in-register compositing, sample by sample
@@ -335,7 +354,9 @@ def spatial_tile_permutation(H: int, W: int, block_h: int = 16, block_w: int = 1
 
 def packed_sigma_xla(pw: Dict[str, jnp.ndarray], pts: jnp.ndarray,
                      branch: str, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Density-only packed forward (occupancy estimation): pts [N,3] -> [N]."""
+    """Density-only packed forward (occupancy estimation): pts [N,3] ->
+    [N] RAW sigma (pre-activation; callers apply density_act — for relu,
+    thresholding raw sigma at t > 0 is equivalent)."""
     pe = sincos_posenc(pts.astype(jnp.float32), 10, 2.0)
     pe = jnp.concatenate(
         [pe, jnp.zeros((pe.shape[0], PE_PAD - pe.shape[1]), pe.dtype)], axis=-1
@@ -347,7 +368,7 @@ def packed_sigma_xla(pw: Dict[str, jnp.ndarray], pts: jnp.ndarray,
 
 
 def _occupancy_sat(pw, branch, lo, span, grid_res, sigma_thresh,
-                   supersample: int = 2):
+                   supersample: int = 2, act: str = "relu"):
     """Dilated density-occupancy grid -> 3D summed-area table [G+1]^3.
 
     The grid node at index (iz, iy, ix) covers position
@@ -379,7 +400,7 @@ def _occupancy_sat(pw, branch, lo, span, grid_res, sigma_thresh,
              jnp.broadcast_to(z_group[:, None, None], (zc,) + gx.shape)],
             -1,
         ).reshape(-1, 3) * span
-        sig = packed_sigma_xla(pw, pts, branch)
+        sig = density_act(packed_sigma_xla(pw, pts, branch), act)
         return (sig > sigma_thresh * 0.25).reshape(zc, gf, gf)
 
     occ_fine = jax.lax.map(
@@ -430,6 +451,7 @@ def occupancy_flags_dynamic_z(
     sigma_thresh: float,
     grid_res: int = 64,
     sat_cache=None,
+    act: str = "relu",
 ) -> jnp.ndarray:
     """Per-(tile, slab) occupancy flags for PER-RAY depths (the
     hierarchical fine pass: importance-resampled z differ per ray).
@@ -450,14 +472,14 @@ def occupancy_flags_dynamic_z(
     """
     flags, _ = occupancy_flags_and_sat(
         pw, branch, rays_o, rays_d, z_vals, sigma_thresh, grid_res,
-        sat_cache,
+        sat_cache, act,
     )
     return flags
 
 
 def occupancy_flags_and_sat(
     pw, branch, rays_o, rays_d, z_vals, sigma_thresh, grid_res=64,
-    sat_cache=None,
+    sat_cache=None, act: str = "relu",
 ):
     """occupancy_flags_dynamic_z + the (sat, lo, span) cache for reuse."""
     n, S = z_vals.shape
@@ -475,7 +497,8 @@ def occupancy_flags_and_sat(
         allp = pts.reshape(-1, 3)
         lo = allp.min(0)
         span = jnp.maximum(allp.max(0) - lo, 1e-6)
-        sat = _occupancy_sat(pw, branch, lo, span, grid_res, sigma_thresh)
+        sat = _occupancy_sat(pw, branch, lo, span, grid_res, sigma_thresh,
+                             act=act)
     else:
         sat, lo, span = sat_cache
     voxel = span / (grid_res - 1)
@@ -495,6 +518,7 @@ def conservative_occupancy(
     z_vals: jnp.ndarray,
     sigma_thresh: float,
     grid_res: int = 64,
+    act: str = "relu",
 ) -> jnp.ndarray:
     """Per-(field, tile, slab) occupancy flags for the fused kernel.
 
@@ -535,7 +559,8 @@ def conservative_occupancy(
     voxel = span / (grid_res - 1)
 
     def field_flags(pw, branch, pts):
-        sat = _occupancy_sat(pw, branch, lo, span, grid_res, sigma_thresh)
+        sat = _occupancy_sat(pw, branch, lo, span, grid_res, sigma_thresh,
+                             act=act)
         ab_lo = pts.min(axis=(2, 3))  # [T, J, 3]
         ab_hi = pts.max(axis=(2, 3))
         i_lo = jnp.clip(
@@ -576,6 +601,7 @@ def fused_render_rays(
     occupancy: "jnp.ndarray" = None,
     bg_epilogue: bool = False,
     fields: str = "both",
+    act: str = "relu",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render n rays through both packed fields with the fused kernel.
 
@@ -732,7 +758,7 @@ def fused_render_rays(
         functools.partial(_render_kernel, n_slabs=n_slabs, ert_eps=ert_eps,
                           bg_in_kernel=not bg_epilogue,
                           eval_head=fields in ("both", "head"),
-                          eval_torso=fields in ("both", "torso")),
+                          eval_torso=fields in ("both", "torso"), act=act),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
@@ -751,11 +777,13 @@ def fused_render_rays(
         z_vals, bc_rgb[:n], last_dist,
         out_head[:n, 0:3], out_com[:n, 0:3],
         out_head[:n, 3:4], out_com[:n, 3:4],
+        act=act,
     )
 
 
 def _bg_epilogue(pw_h, pw_t, rays_o, rays_d, rays_o_t, rays_d_t, z_vals,
-                 bc_rgb, last_dist, acc_head, acc_com, t_head, t_com):
+                 bc_rgb, last_dist, acc_head, acc_com, t_head, t_com,
+                 act="relu"):
     """The background-concat catch-all sample as a per-ray XLA pass —
     bit-for-bit the expressions the kernel's final sample applies
     (run_nerf_com_trainExpLater.py:863-886): head stack adds the bg pixel
@@ -767,8 +795,8 @@ def _bg_epilogue(pw_h, pw_t, rays_o, rays_d, rays_o_t, rays_d_t, z_vals,
     pts_t = rays_o_t + rays_d_t * far
     # match the kernel's compute dtype (set by how the weights were packed)
     dtype = pw_h["w_blocks"].dtype
-    sh = jnp.maximum(
-        packed_sigma_xla(pw_h, pts_h, "head", dtype=dtype), 0.0
+    sh = density_act(
+        packed_sigma_xla(pw_h, pts_h, "head", dtype=dtype), act
     )[:, None]
     vb_t = view_bias(pw_t, rays_d_t).astype(jnp.bfloat16)
     ct, _ = packed_field_xla(pw_t, pts_t, vb_t, "torso", dtype=dtype)  # [n, 3]
@@ -788,7 +816,7 @@ def _bg_epilogue(pw_h, pw_t, rays_o, rays_d, rays_o_t, rays_d_t, z_vals,
 def _sigma_kernel(
     occ_ref, z_ref, o_ref, d_ref, freq_ref, phase_ref,
     hw_in, hb_in, hw_blocks, hb_blocks, hw_skip, hb_skip, hw_sf, hb_sf,
-    out_ref,
+    out_ref, *, act: str = "relu",
 ):
     t = pl.program_id(0)
     j = pl.program_id(1)
@@ -813,7 +841,7 @@ def _sigma_kernel(
             pts = o + d * z_ref[0, 0, s]
             encs.append(jnp.sin(pts * freq + ph))
         pe = jnp.concatenate(encs, axis=0).astype(jnp.bfloat16)
-        sigma = jnp.maximum(trunk(pe)[:, 0:1], 0.0)  # [rows, 1]
+        sigma = density_act(trunk(pe)[:, 0:1], act)  # [rows, 1]
         out_ref[0] = sigma.reshape(S_SLAB, R_T).T
 
     @pl.when(occ_ref[t, j] == 0)
@@ -828,9 +856,11 @@ def fused_sigma_head(
     z_vals: jnp.ndarray,
     interpret: bool = False,
     occupancy: "jnp.ndarray" = None,
+    act: str = "relu",
 ) -> jnp.ndarray:
     """Density-only head forward: rays [n, 3], z_vals [S] shared ->
-    sigma [n, S] fp32 (relu'd). Occupancy flags [T, J] zero whole slabs."""
+    sigma [n, S] fp32 (density_act applied). Occupancy flags [T, J] zero
+    whole slabs."""
     n = rays_o.shape[0]
     S = z_vals.shape[0]
     assert S % S_SLAB == 0
@@ -889,7 +919,7 @@ def fused_sigma_head(
         ),
     )
     out = pl.pallas_call(
-        _sigma_kernel,
+        functools.partial(_sigma_kernel, act=act),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_slabs, n_pad, S_SLAB), jnp.float32),
         interpret=interpret,
@@ -925,7 +955,7 @@ def _pair_field_kernel(
     w_in, b_in, w_blocks, b_blocks, w_skip, b_skip, w_sf, b_sf,
     w_out, b_out,
     d_w1, d_b1, d_wk, d_bk, d_wskip, d_bskip, d_wout, d_bout, sig_pad,
-    sig_out, r_out, g_out, b_out_ref, *, branch: str,
+    sig_out, r_out, g_out, b_out_ref, *, branch: str, act: str = "relu",
 ):
     rows = S_SLAB * R_T
 
@@ -959,7 +989,7 @@ def _pair_field_kernel(
         h = h.astype(jnp.bfloat16)
     sf = _mm(h, w_sf[:]) + b_sf[:]  # [rows, 384] f32
 
-    sigma = jnp.maximum(sf[:, 0:1], 0.0)
+    sigma = density_act(sf[:, 0:1], act)
     vr = jnp.broadcast_to(
         vr_ref[:][None], (S_SLAB, R_T, 256)
     ).reshape(rows, 256)
@@ -989,6 +1019,7 @@ def pair_field_eval(
     t_idx: jnp.ndarray,
     j_idx: jnp.ndarray,
     interpret: bool = False,
+    act: str = "relu",
 ) -> jnp.ndarray:
     """Evaluate one packed field on K occupied (tile, slab) pairs.
 
@@ -1078,7 +1109,7 @@ def pair_field_eval(
         ),
     )
     return pl.pallas_call(
-        functools.partial(_pair_field_kernel, branch=branch),
+        functools.partial(_pair_field_kernel, branch=branch, act=act),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct(
@@ -1098,7 +1129,7 @@ def _far_kernel(
     tw_in, tb_in, tw_blocks, tb_blocks, tw_skip, tb_skip, tw_sf, tb_sf,
     tw_out, tb_out,
     d_w1, d_b1, d_wk, d_bk, d_wskip, d_bskip, d_wout, d_bout, sig_pad,
-    sig_out, r_out, g_out, b_out_ref,
+    sig_out, r_out, g_out, b_out_ref, *, act: str = "relu",
 ):
     """Far-plane catch-all evals for the bg epilogue: one point per ray —
     head sigma + torso rgb — as a single MXU pass instead of an XLA
@@ -1119,7 +1150,7 @@ def _far_kernel(
                  hw_sf, hb_sf)
     rows = pe_h.shape[0]
     sig_out[:] = jnp.broadcast_to(
-        jnp.maximum(sf_h[:, 0:1], 0.0), (rows, 8))
+        density_act(sf_h[:, 0:1], act), (rows, 8))
 
     pe_t = jnp.sin(pt_ref[:] * freq_ref[:] + phase_ref[:]).astype(jnp.bfloat16)
     dh = jnp.maximum(_mm(pe_t, d_w1[:]) + d_b1[:], 0.0).astype(jnp.bfloat16)
@@ -1150,13 +1181,14 @@ def fused_far_eval(
     rays_d_t: jnp.ndarray,
     far,
     interpret: bool = False,
+    act: str = "relu",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Kernel-evaluated far-plane quantities for _bg_epilogue:
     (sigma_h(far) [n, 1] relu'd, rgb_t(far) [n, 3])."""
     n = rays_o.shape[0]
     # 1024-row blocks: both fields' weights + two PE blocks + fp32 [rows,
     # 384] trunk outputs exceed the 16 MB scoped-vmem limit at 2048 rows
-    ROWS = 1024
+    ROWS = int(os.environ.get("DFANERF_FAR_ROWS", "1024"))
     n_blk = -(-n // ROWS)
     n_pad = n_blk * ROWS
 
@@ -1197,7 +1229,7 @@ def fused_far_eval(
                             memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
-        _far_kernel,
+        functools.partial(_far_kernel, act=act),
         grid=(n_blk,),
         in_specs=[
             row_spec(PE_PAD), row_spec(PE_PAD), row_spec(256),
@@ -1269,7 +1301,18 @@ def deferred_composite(
     rgb bf16). occ [2, T, J] masks every (tile, slab) a pair list may have
     skipped (where(flag, x, 0) also stops NaN garbage from unwritten
     blocks). Returns (acc_head [n,3], acc_com [n,3], t_head [n,1],
-    t_com [n,1], tile_trans_head [T,J], tile_trans_com [T,J]).
+    t_com [n,1], tile_trans_head [T,J], tile_trans_com [T,J],
+    contrib_head [T,J], contrib_torso [T,J]).
+
+    The contrib outputs are per-(tile, slab) PER-FIELD visibility: the max
+    over the tile's rays of the slab's summed compositing-weight
+    contribution of that field across both stacks (head stack weight +
+    composite weight x that field's density-mix fraction). A pair whose
+    contrib is below eps changes any ray of any stack by at most
+    ~n_slabs*eps per channel if skipped — the lever behind the pair
+    renderer's occ_prune_contrib: junk floaters on background rays keep
+    transmittance 1 but have near-zero alpha, so transmittance pruning
+    misses them and contribution pruning catches them.
 
     The whole pass runs in the buffers' NATIVE [S, n] orientation — no
     [n, S] transpose is ever materialized (the two 220 MB transposes of
@@ -1313,16 +1356,17 @@ def deferred_composite(
 
     def march(alpha, colors):
         # transmittance scan along the leading sample axis; returns the
-        # accumulated color [n, 3], final transmittance [n, 1], and the
-        # per-slab-start transmittances [J, n]
+        # accumulated color [n, 3], final transmittance [n, 1], the
+        # per-slab-start transmittances [J, n], and the per-sample
+        # compositing weights [S, n]
         t = jnp.cumprod(1.0 - alpha + 1e-10, axis=0)
         t_prev = jnp.concatenate([jnp.ones((1, n)), t[:-1]], axis=0)
         w = alpha * t_prev
         acc = jnp.stack([(w * c).sum(axis=0) for c in colors], axis=-1)
-        return acc, t[-1:].T, t_prev[0:S:S_SLAB]
+        return acc, t[-1:].T, t_prev[0:S:S_SLAB], w
 
     alpha_h = 1.0 - jnp.exp(-(sig_h + 1e-6) * d_h)
-    acc_head, tl_h, starts_h = march(alpha_h, rgb_h)
+    acc_head, tl_h, starts_h, w_h = march(alpha_h, rgb_h)
 
     ssum = sig_h + sig_t
     denom = jnp.where(ssum == 0.0, 1e-4, ssum)
@@ -1331,7 +1375,7 @@ def deferred_composite(
         for ch, ct in zip(rgb_h, rgb_t)
     )
     alpha_c = 1.0 - jnp.exp(-(ssum + 1e-6) * d_t)
-    acc_com, tl_c, starts_c = march(alpha_c, c_mix)
+    acc_com, tl_c, starts_c, w_c = march(alpha_c, c_mix)
 
     # per-(tile, slab) transmittance maxima at slab starts: the caller's
     # refresh MAY use them to prune pairs behind saturated opacity (on
@@ -1340,8 +1384,16 @@ def deferred_composite(
     def tile_trans(starts):  # [J, n]
         return starts.reshape(J, T, R_T).max(axis=2).T
 
+    def tile_contrib(w):  # [S, n] -> [T, J]: max-ray summed slab weight
+        return w.reshape(J, S_SLAB, T, R_T).sum(axis=1).max(axis=2).T
+
+    frac_h = sig_h / denom
+    contrib_h = tile_contrib(w_h + w_c * frac_h)
+    contrib_t = tile_contrib(w_c * (1.0 - frac_h))
+
     return (acc_head, acc_com, tl_h, tl_c,
-            tile_trans(starts_h), tile_trans(starts_c))
+            tile_trans(starts_h), tile_trans(starts_c),
+            contrib_h, contrib_t)
 
 
 # ---------------------------------------------------------------------------
@@ -1360,7 +1412,7 @@ def _head_kernel(
     hw_out, hb_out,
     out_ref,
     t_acc, acc,
-    *, n_slabs: int, ert_eps: float,
+    *, n_slabs: int, ert_eps: float, act: str = "relu",
 ):
     t = pl.program_id(0)
     j = pl.program_id(1)
@@ -1398,7 +1450,7 @@ def _head_kernel(
         vr = jnp.broadcast_to(vr_ref[:][None], (S_SLAB, R_T, 256)).reshape(rows, 256)
         net = jnp.maximum(sf[:, 128:384] + vr.astype(jnp.float32), 0.0)
         rgb = jax.nn.sigmoid(_mm(net.astype(jnp.bfloat16), hw_out[:]) + hb_out[:])
-        sigma = jnp.maximum(sf[:, 0:1], 0.0)
+        sigma = density_act(sf[:, 0:1], act)
 
         bc = aux_ref[:].astype(jnp.float32)
         tc = t_acc[:]
@@ -1433,6 +1485,7 @@ def fused_render_head(
     interpret: bool = False,
     ert_eps: float = 0.0,
     occupancy: "jnp.ndarray" = None,
+    act: str = "relu",
 ) -> jnp.ndarray:
     """Head-field render with PER-RAY depths through the fused kernel.
 
@@ -1530,7 +1583,8 @@ def fused_render_head(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_head_kernel, n_slabs=n_slabs, ert_eps=ert_eps),
+        functools.partial(_head_kernel, n_slabs=n_slabs, ert_eps=ert_eps,
+                          act=act),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
         interpret=interpret,

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from dfanerf_tpu.config import RenderConfig
 from dfanerf_tpu.core.compositing import volume_render
 from dfanerf_tpu.models.decoder import DecoderConfig, apply_decoder
+from dfanerf_tpu.ops.fused_render import density_act
 
 Params = Dict[str, Any]
 
@@ -45,7 +46,8 @@ def render_ray_batch(
     z_app_torso: jnp.ndarray,
     bc_rgb: Optional[jnp.ndarray],
     head_branch: str = "head",
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_weights: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Render one ray batch through both fields.
 
     Args:
@@ -61,7 +63,11 @@ def render_ray_batch(
 
     Returns:
         rgb_head: [R, 3] head-field-only render (vs head+neck target);
-        rgb_com:  [R, 3] head+torso composite render (vs composite target).
+        rgb_com:  [R, 3] head+torso composite render (vs composite target);
+        with ``return_weights`` also w_head, w_com [R, S] — each stack's
+        per-sample compositing weights (catch-all bg sample included), for
+        regularizers over the weight distribution (train/step.py
+        distortion loss).
     """
     R, S = z_vals.shape
     compute_dtype = (
@@ -86,8 +92,8 @@ def render_ray_batch(
         "torso", rays_o_torso, rays_d_torso, signal_torso, z_shape_torso, z_app_torso
     )
 
-    sigma_h = jax.nn.relu(sigma_h)
-    sigma_t = jax.nn.relu(sigma_t)
+    sigma_h = density_act(sigma_h, dec_cfg.density_activation)
+    sigma_t = density_act(sigma_t, dec_cfg.density_activation)
 
     if rcfg.concate_bg:
         assert bc_rgb is not None
@@ -99,20 +105,22 @@ def render_ray_batch(
         sigma_h_headstack = sigma_h
         sigma_t_comstack = sigma_t
 
-    rgb_head, _ = volume_render(
+    rgb_head, w_head = volume_render(
         z_vals,
         rays_d,
         sigma_h_headstack[None],
         feat_h[None],
         last_dist=rcfg.last_dist,
     )
-    rgb_com, _ = volume_render(
+    rgb_com, w_com = volume_render(
         z_vals,
         rays_d_torso,
         jnp.stack([sigma_h, sigma_t_comstack]),
         jnp.stack([feat_h, feat_t]),
         last_dist=rcfg.last_dist,
     )
+    if return_weights:
+        return rgb_head, rgb_com, w_head, w_com
     return rgb_head, rgb_com
 
 
@@ -155,7 +163,8 @@ def render_head_hierarchical(
             z_shape, z_app, signal, "head", compute_dtype=compute_dtype,
         )
         feat = feat.reshape(R, S_all, 3)
-        sigma = jax.nn.relu(sigma.reshape(R, S_all))
+        sigma = density_act(sigma.reshape(R, S_all),
+                            dec_cfg.density_activation)
         if rcfg.concate_bg:
             assert bc_rgb is not None
             feat = jnp.concatenate([feat[:, :-1, :], bc_rgb[:, None, :]], axis=1)

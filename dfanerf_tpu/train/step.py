@@ -156,7 +156,10 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
         aabb_lo = jnp.asarray(corners.min(0))
         aabb_hi = jnp.asarray(corners.max(0))
 
-    cauchy = lambda s: jnp.log1p(2.0 * jnp.maximum(s, 0.0) ** 2)
+    from dfanerf_tpu.ops.fused_render import density_act
+
+    cauchy = lambda s: jnp.log1p(
+        2.0 * density_act(s, dcfg.density_activation) ** 2)
 
     def sparsity_loss(params, z_shape, z_app, signal, signal_torso, key):
         from dfanerf_tpu.models.decoder import apply_decoder
@@ -212,7 +215,8 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
                 dirs.reshape(-1, 3), state["z_shape"][obj],
                 state["z_app"][obj], sig, branch,
             )
-            return jnp.maximum(s.reshape(n_rays, rcfg.n_samples), 0.0)
+            return density_act(s.reshape(n_rays, rcfg.n_samples),
+                               dcfg.density_activation)
 
         signal = encode_signal(
             params, data["auds"], data["exps"], img_i, jnp.int32(n_train),
@@ -244,8 +248,29 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
         return (jnp.sum(cauchy(sig_h) * unseen)
                 + jnp.sum(cauchy(sig_t) * unseen)) / denom
 
+    def distortion_loss(w, z_vals):
+        """mip-NeRF 360 distortion (eq. 15), O(S) cumsum form, on one
+        stack's compositing weights w [R, S] at normalized sample
+        positions s = (z - near) / (far - near) (the catch-all bg sample
+        sits at s = 1): sum_ij w_i w_j |s_i - s_j| + (1/3) sum w_i^2 d_i.
+        Minimized by each ray's weight collapsing to a thin interval —
+        fog mass spread along a ray pays against itself and against the
+        catch-all's weight at the far endpoint."""
+        s = (z_vals - near) / (far - near)  # [R, S] sorted
+        sm = 0.5 * (s[:, 1:] + s[:, :-1])
+        sm = jnp.concatenate([sm, s[:, -1:]], axis=1)  # midpoints; last=far
+        d = jnp.concatenate(
+            [s[:, 1:] - s[:, :-1], jnp.zeros_like(s[:, :1])], axis=1)
+        cw = jnp.cumsum(w, axis=1)
+        cws = jnp.cumsum(w * sm, axis=1)
+        prev_w = jnp.concatenate([jnp.zeros_like(cw[:, :1]), cw[:, :-1]], 1)
+        prev_ws = jnp.concatenate([jnp.zeros_like(cw[:, :1]), cws[:, :-1]], 1)
+        cross = 2.0 * jnp.sum(w * (sm * prev_w - prev_ws), axis=1)
+        self_term = jnp.sum(w * w * d, axis=1) / 3.0
+        return jnp.mean(cross + self_term)
+
     def loss_fn(params, state, data, img_i, coords, z_vals, use_smo,
-                k_sparse=None):
+                k_sparse=None, dist_on=None):
         n_valid = jnp.int32(n_train)
         signal = encode_signal(
             params, data["auds"], data["exps"], img_i, n_valid, scfg.smo_size,
@@ -270,7 +295,8 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
         rays_o, rays_d = rays_for_pixels(coords, focal, pose, cx, cy)
         rays_o_t, rays_d_t = rays_for_pixels(coords, focal, pose_torso, cx, cy)
 
-        rgb_head, rgb_com = render_ray_batch(
+        want_w = tcfg.distortion_lambda > 0.0
+        outs = render_ray_batch(
             params["decoder"],
             dcfg,
             rcfg,
@@ -286,7 +312,9 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
             state["z_shape"][1],
             state["z_app"][1],
             bc_rgb,
+            return_weights=want_w,
         )
+        rgb_head, rgb_com = outs[0], outs[1]
         loss_head = jnp.mean((rgb_head - target_head) ** 2)
         loss_com = jnp.mean((rgb_com - target_com) ** 2)
         if tcfg.use_l1 and tcfg.train_together:
@@ -295,6 +323,13 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
             loss = jnp.mean(jnp.abs(rgb_com - target_com))
         else:
             loss = loss_head + loss_com
+        if want_w:
+            gate = jnp.float32(1.0) if dist_on is None \
+                else dist_on.astype(jnp.float32)
+            dist = distortion_loss(outs[3], z_vals)
+            if tcfg.distortion_stacks == "both":
+                dist = dist + distortion_loss(outs[2], z_vals)
+            loss = loss + tcfg.distortion_lambda * gate * dist
         if sparsity_lambda > 0.0:
             if sparsity_mode == "visibility":
                 loss = loss + sparsity_lambda * visibility_sparsity_loss(
@@ -323,11 +358,12 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
         )
         use_smo = step >= scfg.nosmo_iters
         use_exp = step >= scfg.noexp_iters
+        dist_on = step >= tcfg.distortion_from
 
         (loss, (loss_head, loss_com)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state["params"], state, data, img_i, coords, z_vals, use_smo,
-          k_sparse)
+          k_sparse, dist_on)
 
         lr = exp_decay_lr(step, tcfg.lrate, tcfg.lrate_decay)
         gates = {"always": jnp.int32(1), "smo": use_smo.astype(jnp.int32),

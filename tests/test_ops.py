@@ -363,7 +363,7 @@ class TestPairCompaction:
                                 interpret=True)
         buf_t = pair_field_eval(pw_t, "torso", ro_t, rd_t, z, tt, jt,
                                 interpret=True)
-        ah, ac, t_h, t_c, _, _ = deferred_composite(
+        ah, ac, t_h, t_c, *_ = deferred_composite(
             buf_h, buf_t, jnp.asarray(occ), rd, rd_t, z)
         return _bg_epilogue(pw_h, pw_t, ro, rd, ro_t, rd_t, z, bc,
                             1e10, ah, ac, t_h, t_c)
@@ -433,7 +433,7 @@ class TestPairCompaction:
             return (chan(sig, jnp.float32),) + tuple(
                 chan(rgb[..., i], jnp.bfloat16) for i in range(3))
 
-        ah, ac, t_h, t_c, _, _ = deferred_composite(
+        ah, ac, t_h, t_c, *_ = deferred_composite(
             to_buf(sig_h, rgb_h), to_buf(sig_t, rgb_t),
             jnp.ones((2, 2, 2), jnp.int32), rd, rd_t, z)
         h_r, c_r = _bg_epilogue(pw_h, pw_t, ro, rd, ro_t, rd_t, z, bc,
