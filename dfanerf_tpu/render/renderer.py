@@ -55,20 +55,35 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
         use_tiles = rcfg.spatial_tiles or rcfg.occ_sigma_thresh > 0
         perm = spatial_tile_permutation(H, W) if use_tiles else None
         z_vals_c = jnp.linspace(near, far, rcfg.n_samples)
+        # 16x16 block grid of the spatial permutation: the perm is block-
+        # structured (edge-clamped), so tiling and untiling are pure
+        # pad+reshape+transpose — a per-ROW gather/scatter with the flat
+        # perm indices pays ~100x write amplification on TPU (each 3-lane
+        # row touches a full (8,128) tile); measured 5+ ms per frame
+        hb, wb = -(-H // 16), -(-W // 16)
+
+        def tile_order(img):
+            """[H, W, C] -> [T*R_T, C] in spatial-tile order (equals
+            x.reshape(-1, C)[perm]; edge pad = the perm's index clamp)."""
+            v = jnp.pad(img, ((0, hb * 16 - H), (0, wb * 16 - W), (0, 0)),
+                        mode="edge")
+            return v.reshape(hb, 16, wb, 16, -1).transpose(
+                0, 2, 1, 3, 4).reshape(hb * wb * 256, -1)
 
         def frame_inputs(params, z_shape, z_app, pose, pose_torso,
                          signal, signal_torso, bc_img):
             rays_o, rays_d = get_rays(H, W, focal, pose, cx, cy)
             rays_o_t, rays_d_t = get_rays(H, W, focal, pose_torso, cx, cy)
-            bc = bc_img.reshape(-1, 3).astype(jnp.float32) / 255.0
+            bc = bc_img.astype(jnp.float32) / 255.0
 
             def maybe_perm(x):
-                return x[perm] if perm is not None else x
+                return tile_order(x) if perm is not None \
+                    else x.reshape(-1, x.shape[-1])
 
-            ro = maybe_perm(rays_o.reshape(-1, 3))
-            rd = maybe_perm(rays_d.reshape(-1, 3))
-            ro_t = maybe_perm(rays_o_t.reshape(-1, 3))
-            rd_t = maybe_perm(rays_d_t.reshape(-1, 3))
+            ro = maybe_perm(rays_o)
+            rd = maybe_perm(rays_d)
+            ro_t = maybe_perm(rays_o_t)
+            rd_t = maybe_perm(rays_d_t)
             bc_p = maybe_perm(bc)
             pw_h = pack_field_weights(
                 params["decoder"], dcfg, signal, z_shape[0], z_app[0], "head"
@@ -81,11 +96,13 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
 
         def unpermute(rgb_head_p, rgb_com_p):
             if perm is not None:
-                rgb_head = jnp.zeros((H * W, 3)).at[perm].set(rgb_head_p)
-                rgb_com = jnp.zeros((H * W, 3)).at[perm].set(rgb_com_p)
-            else:
-                rgb_head, rgb_com = rgb_head_p, rgb_com_p
-            return rgb_head.reshape(H, W, 3), rgb_com.reshape(H, W, 3)
+                def inv(v):
+                    return v.reshape(hb, wb, 16, 16, 3).transpose(
+                        0, 2, 1, 3, 4).reshape(hb * 16, wb * 16, 3)[:H, :W]
+
+                return inv(rgb_head_p), inv(rgb_com_p)
+            return (rgb_head_p.reshape(H, W, 3),
+                    rgb_com_p.reshape(H, W, 3))
 
         if rcfg.occ_sigma_thresh <= 0:
             @jax.jit
@@ -471,21 +488,52 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         return fused_far_eval(pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c[-1],
                               act=act)
 
+    # --- tile compaction: kernels and the deferred composite run only on
+    # the union-occupied tiles (a refresh-time host decision, bucketed for
+    # compile reuse); the full-frame work per frame is just the far-plane
+    # pass and the final scatter+bg_blend. On the serving scenes ~70% of
+    # tiles are background-only, which this removes from the composite's
+    # [S, n] cumprod traffic entirely.
     @jax.jit
-    def composite_fn(inputs, buf_h, buf_t, occ, far_vals):
+    def gather_fn(inputs, tiles_sel):
         pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
-        ah, ac, t_h, t_c, tm_h, tm_c, cb_h, cb_t = deferred_composite(
-            buf_h, buf_t, occ, rd, rd_t, z_vals_c)
+        sel = lambda x: x.reshape(T, R_T, 3)[tiles_sel].reshape(-1, 3)
+        return sel(ro), sel(rd), sel(ro_t), sel(rd_t)
+
+    @jax.jit
+    def composite_fn(rd_g, rd_t_g, buf_h, buf_t, occ_sub):
+        return deferred_composite(buf_h, buf_t, occ_sub, rd_g, rd_t_g,
+                                  z_vals_c)
+
+    @jax.jit
+    def blend_fn(inputs, far_vals, ah, ac, t_h, t_c, tiles_scatter):
+        pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
+        n = T * R_T
+
+        def scatter(x, fill):
+            # tile-BLOCKED scatter: whole [R_T, C] blocks (a per-row
+            # scatter of 1-3-lane rows pays (8,128)-tile write
+            # amplification — measured 5+ ms for these four arrays);
+            # padding entries all land on the sliced-off dummy tile T
+            full = jnp.full((T + 1, R_T, x.shape[-1]), fill)
+            full = full.at[tiles_scatter].set(
+                x.reshape(-1, R_T, x.shape[-1]))
+            return full[:T].reshape(n, x.shape[-1])
+
         sh, ct = far_vals
-        head, com = bg_blend(sh, ct, rd, rd_t, bc_p, rcfg.last_dist,
-                             ah, ac, t_h, t_c)
-        return unpermute(head, com), tm_h, tm_c, cb_h, cb_t
+        head, com = bg_blend(
+            sh, ct, rd, rd_t, bc_p, rcfg.last_dist,
+            scatter(ah, 0.0), scatter(ac, 0.0),
+            scatter(t_h, 1.0), scatter(t_c, 1.0),
+        )
+        return unpermute(head, com)
 
     buckets = [0, 128, 256, 384, 512, 640, 768, 896, 1024, 1280, 1536,
                2048, 2560, 3072, 4096, T * J]
+    tile_buckets = [64, 128, 192, 256, 320, 416, 512, 672, T]
 
-    def bucket(c):
-        return next(b for b in buckets if b >= c)
+    def bucket(c, ladder=buckets):
+        return next(b for b in ladder if b >= c)
 
     cache = {"age": 0, "lists": None, "occ": None}
 
@@ -494,50 +542,84 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         if os.environ.get("DFANERF_DEBUG_COMPACTION"):
             print(f"[pairs:{tag}] head={int(occ_np[0].sum())} "
                   f"torso={int(occ_np[1].sum())}", flush=True)
+        # union-occupied tiles, compacted and bucketed
+        tiles_u = np.nonzero(occ_np.max(axis=(0, 2)))[0]
+        k_u = bucket(len(tiles_u), tile_buckets)
+        tiles_pad = np.concatenate(
+            [tiles_u, np.zeros(k_u - len(tiles_u))]).astype(np.int32)
+        pos_of = np.full(T + 1, k_u, np.int32)  # full tile -> compact pos
+        pos_of[tiles_u] = np.arange(len(tiles_u))
+        # blend-time scatter targets (tile-blocked): real tiles go to
+        # their row, every padding entry to the sliced-off dummy tile T
+        tiles_scatter = tiles_pad.copy()
+        tiles_scatter[len(tiles_u):] = T
+        occ_sub = occ_np[:, tiles_pad, :]
+        occ_sub[:, len(tiles_u):] = 0
         lists = []
         for f in range(2):
             t_i, j_i = np.nonzero(occ_np[f])
             order = np.lexsort((j_i, t_i))  # tile-major: consecutive pairs
             # of one tile reuse the same ray blocks without a re-fetch
             t_i, j_i = t_i[order], j_i[order]
+            t_i = pos_of[t_i]  # compacted tile coordinates
             pad = bucket(len(t_i)) - len(t_i)
-            t_i = np.concatenate([t_i, np.full(pad, T)]).astype(np.int32)
+            t_i = np.concatenate([t_i, np.full(pad, k_u)]).astype(np.int32)
             j_i = np.concatenate([j_i, np.zeros(pad)]).astype(np.int32)
             lists.append((jnp.asarray(t_i), jnp.asarray(j_i)))
-        cache.update(age=0, lists=lists, occ=jnp.asarray(occ_np))
+        cache.update(
+            age=0, lists=lists, occ=jnp.asarray(occ_np),
+            tiles_u=tiles_u, tiles_sel=jnp.asarray(tiles_pad),
+            occ_sub=jnp.asarray(occ_sub),
+            tiles_scatter=jnp.asarray(tiles_scatter),
+        )
 
     def run_pipeline(inputs):
-        """Kernels + composite under the CURRENT flag lists. Returns
-        (imgs, tm_h, tm_c, contrib_h, contrib_t)."""
-        pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
+        """Gather occupied tiles + kernels + compacted composite + full-
+        frame blend under the CURRENT flag lists (each its own jit program
+        per the composed-program kernel-fault rule). Returns
+        (imgs, tm_h, tm_c, contrib_h, contrib_t) — the diagnostics in
+        COMPACTED tile coordinates (cache['tiles_u'] maps back)."""
+        ro_g, rd_g, ro_t_g, rd_t_g = gather_fn(inputs, cache["tiles_sel"])
         bufs = []
         for pw, o, d, branch, (ti, ji) in (
-                (pw_h, ro, rd, "head", cache["lists"][0]),
-                (pw_t, ro_t, rd_t, "torso", cache["lists"][1])):
-            ck = (int(ti.shape[0]), branch)
+                (inputs[0], ro_g, rd_g, "head", cache["lists"][0]),
+                (inputs[1], ro_t_g, rd_t_g, "torso", cache["lists"][1])):
+            ck = (int(ti.shape[0]), int(ro_g.shape[0]), branch)
             if ck not in kernel_cache:
                 kernel_cache[ck] = make_kernel(branch)
             bufs.append(kernel_cache[ck](pw, o, d, ti, ji))
         far_vals = far_fn(inputs)
-        return composite_fn(inputs, bufs[0], bufs[1], cache["occ"],
-                            far_vals)
+        ah, ac, t_h, t_c, tm_h, tm_c, cb_h, cb_t = composite_fn(
+            rd_g, rd_t_g, bufs[0], bufs[1], cache["occ_sub"])
+        imgs = blend_fn(inputs, far_vals, ah, ac, t_h, t_c,
+                        cache["tiles_scatter"])
+        return imgs, tm_h, tm_c, cb_h, cb_t
+
+    def expand_tiles(x_sub):
+        """[K_u, J] compacted diagnostic -> [T, J] full (zeros off-U)."""
+        full = np.zeros((T, x_sub.shape[1]), np.float32)
+        tiles_u = cache["tiles_u"]
+        full[tiles_u] = np.asarray(x_sub)[:len(tiles_u)]
+        return full
 
     def prune_flags(tm_h, tm_c, cb_h, cb_t):
-        """Keep-masks from one frame's composite diagnostics: drop pairs
-        saturated behind opacity (occ_prune_trans, tile-max transmittance)
-        or invisible to every stack (occ_prune_contrib, max-ray summed
+        """Keep-masks [T, J] from one frame's composite diagnostics
+        (compacted coordinates, expanded here): drop pairs saturated
+        behind opacity (occ_prune_trans, tile-max transmittance) or
+        invisible to every stack (occ_prune_contrib, max-ray summed
         compositing weight — the junk-floater killer: bg rays keep
         transmittance 1, so only the contribution test sees them)."""
-        keep_h = np.ones(tm_h.shape, bool)
-        keep_t = np.ones(tm_h.shape, bool)
+        keep_h = np.ones((T, J), bool)
+        keep_t = np.ones((T, J), bool)
         if rcfg.occ_prune_trans > 0:
             eps = rcfg.occ_prune_trans
-            keep_h &= np.maximum(np.asarray(tm_h), np.asarray(tm_c)) > eps
-            keep_t &= np.asarray(tm_c) > eps
+            tm_h_f, tm_c_f = expand_tiles(tm_h), expand_tiles(tm_c)
+            keep_h &= np.maximum(tm_h_f, tm_c_f) > eps
+            keep_t &= tm_c_f > eps
         if rcfg.occ_prune_contrib > 0:
             eps = rcfg.occ_prune_contrib
-            keep_h &= np.asarray(cb_h) > eps
-            keep_t &= np.asarray(cb_t) > eps
+            keep_h &= expand_tiles(cb_h) > eps
+            keep_t &= expand_tiles(cb_t) > eps
         return keep_h, keep_t
 
     def refresh_union(window_inputs):
