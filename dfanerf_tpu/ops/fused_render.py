@@ -1250,6 +1250,152 @@ def fused_far_eval(
     return sig_h, rgb_t
 
 
+def _far_head_kernel(
+    ph_ref, freq_ref, phase_ref,
+    hw_in, hb_in, hw_blocks, hb_blocks, hw_skip, hb_skip, hw_sf, hb_sf,
+    sig_out, *, act: str = "relu",
+):
+    """Head half of the far-plane catch-all: sigma only. w_sf arrives
+    SLICED to its first 128 lanes (sigma is column 0) — the head far pass
+    never needs the 384-wide feature tail, which saves ~15% of its MACs
+    and enough VMEM to run 2048-row blocks."""
+    pe = jnp.sin(ph_ref[:] * freq_ref[:] + phase_ref[:]).astype(jnp.bfloat16)
+    h = jnp.maximum(_mm(pe, hw_in[:]) + hb_in[:], 0.0).astype(jnp.bfloat16)
+    for i in range(7):
+        h = jnp.maximum(_mm(h, hw_blocks[i]) + hb_blocks[i], 0.0)
+        if i == 3:
+            h = h + _mm(pe, hw_skip[:]) + hb_skip[:]
+        h = h.astype(jnp.bfloat16)
+    sf = _mm(h, hw_sf[:]) + hb_sf[:]
+    rows = pe.shape[0]
+    sig_out[:] = jnp.broadcast_to(density_act(sf[:, 0:1], act), (rows, 8))
+
+
+def _far_torso_kernel(
+    pt_ref, vr_t_ref, freq_ref, phase_ref,
+    tw_in, tb_in, tw_blocks, tb_blocks, tw_skip, tb_skip, tw_sf, tb_sf,
+    tw_out, tb_out,
+    d_w1, d_b1, d_wk, d_bk, d_wskip, d_bskip, d_wout, d_bout, sig_pad,
+    r_out, g_out, b_out_ref, *, act: str = "relu",
+):
+    """Torso half of the far-plane catch-all: rgb only (deform + trunk +
+    view head). Splitting the two fields into separate programs halves the
+    resident weights per kernel, which fits 2048-row blocks under the
+    16 MB scoped-VMEM ceiling (the joint kernel capped at 1024 rows)."""
+    pe_t = jnp.sin(pt_ref[:] * freq_ref[:] + phase_ref[:]).astype(jnp.bfloat16)
+    dh = jnp.maximum(_mm(pe_t, d_w1[:]) + d_b1[:], 0.0).astype(jnp.bfloat16)
+    for i in range(4):
+        dh = jnp.maximum(_mm(dh, d_wk[i]) + d_bk[i], 0.0)
+        if i == 2:
+            dh = dh + _mm(pe_t, d_wskip[:]) + d_bskip[:]
+        dh = dh.astype(jnp.bfloat16)
+    d_out = _mm(dh, d_wout[:]) + d_bout[:]
+    pe128 = jnp.concatenate([pe_t.astype(jnp.float32),
+                             jnp.zeros_like(pe_t, jnp.float32)], axis=-1)
+    p2 = (d_out + sig_pad[:] + pe128).astype(jnp.bfloat16)
+    h = jnp.maximum(_mm(p2, tw_in[:]) + tb_in[:], 0.0).astype(jnp.bfloat16)
+    for i in range(7):
+        h = jnp.maximum(_mm(h, tw_blocks[i]) + tb_blocks[i], 0.0)
+        if i == 3:
+            h = h + _mm(p2, tw_skip[:]) + tb_skip[:]
+        h = h.astype(jnp.bfloat16)
+    sf_t = _mm(h, tw_sf[:]) + tb_sf[:]
+    net = jnp.maximum(sf_t[:, 128:384] + vr_t_ref[:].astype(jnp.float32), 0.0)
+    rgb = jax.nn.sigmoid(_mm(net.astype(jnp.bfloat16), tw_out[:]) + tb_out[:])
+    rows = pe_t.shape[0]
+    r_out[:] = jnp.broadcast_to(rgb[:, 0:1], (rows, 8))
+    g_out[:] = jnp.broadcast_to(rgb[:, 1:2], (rows, 8))
+    b_out_ref[:] = jnp.broadcast_to(rgb[:, 2:3], (rows, 8))
+
+
+def fused_far_eval_split(
+    pw_h: Dict[str, jnp.ndarray],
+    pw_t: Dict[str, jnp.ndarray],
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    rays_o_t: jnp.ndarray,
+    rays_d_t: jnp.ndarray,
+    far,
+    interpret: bool = False,
+    act: str = "relu",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """fused_far_eval as TWO single-field programs (identical math): the
+    head pass evaluates only sigma with a lane-sliced w_sf, the torso pass
+    only rgb; each runs 2048-row blocks (vs 1024 joint) for better MXU
+    pipelining."""
+    n = rays_o.shape[0]
+    ROWS = int(os.environ.get("DFANERF_FAR_ROWS", "2048"))
+    n_blk = -(-n // ROWS)
+    n_pad = n_blk * ROWS
+
+    def padded(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((n_pad - n,) + x.shape[1:], x.dtype)], axis=0
+        )
+
+    coord_idx = jnp.arange(PE_PAD) % 3
+    slot_valid = (jnp.arange(PE_PAD) < 60).astype(jnp.float32)
+
+    def replicate(r):
+        return (r[:, coord_idx] * slot_valid).astype(jnp.float32)
+
+    freqs = (jnp.pi * (2.0 ** (jnp.arange(PE_PAD) // 6)) / 2.0) * slot_valid
+    phase = jnp.where(
+        (jnp.arange(PE_PAD) % 6) >= 3, jnp.pi / 2.0, 0.0
+    ) * slot_valid
+    freqs = freqs[None].astype(jnp.float32)
+    phase = phase[None].astype(jnp.float32)
+
+    def row_spec(lane):
+        return pl.BlockSpec((ROWS, lane), lambda b: (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    const_spec = pl.BlockSpec((1, PE_PAD), lambda b: (0, 0),
+                              memory_space=pltpu.VMEM)
+
+    hw = pw_h
+    head_ops = [
+        hw["w_in"], hw["b_in"][None], hw["w_blocks"], hw["b_blocks"],
+        hw["w_skip"], hw["b_skip"][None],
+        hw["w_sf"][:, :128], hw["b_sf"][None, :128],
+    ]
+    ph = padded(replicate(rays_o + rays_d * far))
+    sig = pl.pallas_call(
+        functools.partial(_far_head_kernel, act=act),
+        grid=(n_blk,),
+        in_specs=[row_spec(PE_PAD), const_spec, const_spec]
+        + [_full(op.shape) for op in head_ops],
+        out_specs=row_spec(8),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
+        interpret=interpret,
+    )(ph, freqs, phase, *head_ops)
+
+    tw = pw_t
+    torso_ops = [
+        tw["w_in"], tw["b_in"][None], tw["w_blocks"], tw["b_blocks"],
+        tw["w_skip"], tw["b_skip"][None], tw["w_sf"], tw["b_sf"][None],
+        tw["w_out"], tw["b_out"][None],
+        tw["d_w1"], tw["d_b1"][None], tw["d_wk"], tw["d_bk"],
+        tw["d_wskip"], tw["d_bskip"][None], tw["d_wout"], tw["d_bout"][None],
+        tw["sig_pad"][None],
+    ]
+    pt = padded(replicate(rays_o_t + rays_d_t * far))
+    vr_t = padded(view_bias(pw_t, rays_d_t).astype(jnp.bfloat16))
+    outs = pl.pallas_call(
+        functools.partial(_far_torso_kernel, act=act),
+        grid=(n_blk,),
+        in_specs=[row_spec(PE_PAD), row_spec(256), const_spec, const_spec]
+        + [_full(op.shape) for op in torso_ops],
+        out_specs=tuple(row_spec(8) for _ in range(3)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_pad, 8), jnp.float32) for _ in range(3)
+        ),
+        interpret=interpret,
+    )(pt, vr_t, freqs, phase, *torso_ops)
+    rgb_t = jnp.stack([o[:n, 0] for o in outs], axis=-1)
+    return sig[:n, 0:1], rgb_t
+
+
 def bg_blend(sh, ct, rays_d, rays_d_t, bc_rgb, last_dist,
              acc_head, acc_com, t_head, t_com):
     """The catch-all blend expressions of _bg_epilogue given the far-plane
@@ -1292,7 +1438,8 @@ def deferred_composite(
     rays_d: jnp.ndarray,
     rays_d_t: jnp.ndarray,
     z_vals: jnp.ndarray,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_diagnostics: bool = True,
+) -> Tuple[jnp.ndarray, ...]:
     """Composite two pair_field_eval buffers — the same per-sample math as
     _render_kernel's in-register march (bg_epilogue mode: the catch-all
     sample is the caller's _bg_epilogue), vectorized over [n, S] in XLA.
@@ -1303,6 +1450,11 @@ def deferred_composite(
     blocks). Returns (acc_head [n,3], acc_com [n,3], t_head [n,1],
     t_com [n,1], tile_trans_head [T,J], tile_trans_com [T,J],
     contrib_head [T,J], contrib_torso [T,J]).
+
+    With ``with_diagnostics=False`` only the first four outputs are
+    computed — the per-frame serving composite skips the [T, J] reduction
+    work entirely (the prune diagnostics are only consumed at refresh
+    time).
 
     The contrib outputs are per-(tile, slab) PER-FIELD visibility: the max
     over the tile's rays of the slab's summed compositing-weight
@@ -1376,6 +1528,9 @@ def deferred_composite(
     )
     alpha_c = 1.0 - jnp.exp(-(ssum + 1e-6) * d_t)
     acc_com, tl_c, starts_c, w_c = march(alpha_c, c_mix)
+
+    if not with_diagnostics:
+        return acc_head, acc_com, tl_h, tl_c
 
     # per-(tile, slab) transmittance maxima at slab starts: the caller's
     # refresh MAY use them to prune pairs behind saturated opacity (on

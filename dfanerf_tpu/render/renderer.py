@@ -70,21 +70,48 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
             return v.reshape(hb, 16, wb, 16, -1).transpose(
                 0, 2, 1, 3, 4).reshape(hb * wb * 256, -1)
 
+        if perm is not None:
+            # camera-space dirs for the tiled (edge-clamped) pixel grid,
+            # built once: per-frame ray generation is then one [n, 3] x
+            # [3, 3] rotation with no transposes (get_rays + tile_order
+            # was ~2 ms/frame of pure layout churn). Same pixel math as
+            # core.rays.get_rays (run_nerf_helpers.py:451 grid).
+            import numpy as _np
+            _cx = W * 0.5 if cx is None else cx
+            _cy = H * 0.5 if cy is None else cy
+            _iy = _np.minimum(_np.arange(hb * 16), H - 1)
+            _ix = _np.minimum(_np.arange(wb * 16), W - 1)
+            _ii, _jj = _np.meshgrid(_ix, _iy, indexing="xy")
+            _dirs = _np.stack(
+                [(_ii - _cx) / focal, -(_jj - _cy) / focal,
+                 -_np.ones_like(_ii, _np.float32)], axis=-1
+            ).astype(_np.float32)
+            dirs_tiled = jnp.asarray(
+                _dirs.reshape(hb, 16, wb, 16, 3).transpose(
+                    0, 2, 1, 3, 4).reshape(hb * wb * 256, 3))
+
+            def tiled_rays(pose):
+                rd = jnp.einsum(
+                    "nj,ij->ni", dirs_tiled, pose[:3, :3],
+                    precision=jax.lax.Precision.HIGHEST)
+                return jnp.broadcast_to(pose[:3, -1], rd.shape), rd
+
         def frame_inputs(params, z_shape, z_app, pose, pose_torso,
                          signal, signal_torso, bc_img):
-            rays_o, rays_d = get_rays(H, W, focal, pose, cx, cy)
-            rays_o_t, rays_d_t = get_rays(H, W, focal, pose_torso, cx, cy)
             bc = bc_img.astype(jnp.float32) / 255.0
-
-            def maybe_perm(x):
-                return tile_order(x) if perm is not None \
-                    else x.reshape(-1, x.shape[-1])
-
-            ro = maybe_perm(rays_o)
-            rd = maybe_perm(rays_d)
-            ro_t = maybe_perm(rays_o_t)
-            rd_t = maybe_perm(rays_d_t)
-            bc_p = maybe_perm(bc)
+            if perm is not None:
+                ro, rd = tiled_rays(pose)
+                ro_t, rd_t = tiled_rays(pose_torso)
+                bc_p = tile_order(bc)
+            else:
+                rays_o, rays_d = get_rays(H, W, focal, pose, cx, cy)
+                rays_o_t, rays_d_t = get_rays(H, W, focal, pose_torso,
+                                              cx, cy)
+                ro = rays_o.reshape(-1, 3)
+                rd = rays_d.reshape(-1, 3)
+                ro_t = rays_o_t.reshape(-1, 3)
+                rd_t = rays_d_t.reshape(-1, 3)
+                bc_p = bc.reshape(-1, 3)
             pw_h = pack_field_weights(
                 params["decoder"], dcfg, signal, z_shape[0], z_app[0], "head"
             )
@@ -450,7 +477,7 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
 
     from dfanerf_tpu.ops.fused_render import (
         R_T, S_SLAB, bg_blend, conservative_occupancy,
-        deferred_composite, fused_far_eval, pair_field_eval,
+        deferred_composite, fused_far_eval_split, pair_field_eval,
     )
 
     act = cfg.decoder.density_activation
@@ -478,15 +505,16 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
 
         return kern
 
-    # the catch-all far-plane field evals run as their own Pallas program
-    # (fused_far_eval: ~3.5x the XLA forward, whose [N, 384] intermediates
-    # round-trip HBM); the composite and the final blend+unpermute are
-    # XLA-only programs on either side of it
+    # the catch-all far-plane field evals run as their own Pallas programs
+    # (fused_far_eval_split: ~3.5x the XLA forward, whose [N, 384]
+    # intermediates round-trip HBM; split per field for 2048-row blocks);
+    # the composite and the final blend+unpermute are XLA-only programs on
+    # either side of it
     @jax.jit
     def far_fn(inputs):
         pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
-        return fused_far_eval(pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c[-1],
-                              act=act)
+        return fused_far_eval_split(pw_h, pw_t, ro, rd, ro_t, rd_t,
+                                    z_vals_c[-1], act=act)
 
     # --- tile compaction: kernels and the deferred composite run only on
     # the union-occupied tiles (a refresh-time host decision, bucketed for
@@ -502,6 +530,12 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
 
     @jax.jit
     def composite_fn(rd_g, rd_t_g, buf_h, buf_t, occ_sub):
+        # per-frame serving composite: no [T, J] prune diagnostics
+        return deferred_composite(buf_h, buf_t, occ_sub, rd_g, rd_t_g,
+                                  z_vals_c, with_diagnostics=False)
+
+    @jax.jit
+    def composite_diag_fn(rd_g, rd_t_g, buf_h, buf_t, occ_sub):
         return deferred_composite(buf_h, buf_t, occ_sub, rd_g, rd_t_g,
                                   z_vals_c)
 
@@ -528,8 +562,8 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         )
         return unpermute(head, com)
 
-    buckets = [0, 128, 256, 384, 512, 640, 768, 896, 1024, 1280, 1536,
-               2048, 2560, 3072, 4096, T * J]
+    buckets = [0, 128, 256, 384, 512, 576, 640, 704, 768, 832, 896, 960,
+               1024, 1280, 1536, 2048, 2560, 3072, 4096, T * J]
     tile_buckets = [64, 128, 192, 256, 320, 416, 512, 672, T]
 
     def bucket(c, ladder=buckets):
@@ -573,12 +607,13 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             tiles_scatter=jnp.asarray(tiles_scatter),
         )
 
-    def run_pipeline(inputs):
+    def run_pipeline(inputs, diag=False):
         """Gather occupied tiles + kernels + compacted composite + full-
         frame blend under the CURRENT flag lists (each its own jit program
-        per the composed-program kernel-fault rule). Returns
-        (imgs, tm_h, tm_c, contrib_h, contrib_t) — the diagnostics in
-        COMPACTED tile coordinates (cache['tiles_u'] maps back)."""
+        per the composed-program kernel-fault rule). Returns imgs, or with
+        ``diag=True`` (refresh-time) (imgs, tm_h, tm_c, contrib_h,
+        contrib_t) — the diagnostics in COMPACTED tile coordinates
+        (cache['tiles_u'] maps back)."""
         ro_g, rd_g, ro_t_g, rd_t_g = gather_fn(inputs, cache["tiles_sel"])
         bufs = []
         for pw, o, d, branch, (ti, ji) in (
@@ -589,11 +624,12 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                 kernel_cache[ck] = make_kernel(branch)
             bufs.append(kernel_cache[ck](pw, o, d, ti, ji))
         far_vals = far_fn(inputs)
-        ah, ac, t_h, t_c, tm_h, tm_c, cb_h, cb_t = composite_fn(
+        comp_fn = composite_diag_fn if diag else composite_fn
+        ah, ac, t_h, t_c, *diags = comp_fn(
             rd_g, rd_t_g, bufs[0], bufs[1], cache["occ_sub"])
         imgs = blend_fn(inputs, far_vals, ah, ac, t_h, t_c,
                         cache["tiles_scatter"])
-        return imgs, tm_h, tm_c, cb_h, cb_t
+        return (imgs, *diags) if diag else imgs
 
     def expand_tiles(x_sub):
         """[K_u, J] compacted diagnostic -> [T, J] full (zeros off-U)."""
@@ -640,7 +676,7 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         if rcfg.occ_prune_trans > 0 or rcfg.occ_prune_contrib > 0:
             keeps = None
             for inp in window_inputs:
-                _, tm_h, tm_c, cb_h, cb_t = run_pipeline(inp)
+                _, tm_h, tm_c, cb_h, cb_t = run_pipeline(inp, diag=True)
                 kh, kt = prune_flags(tm_h, tm_c, cb_h, cb_t)
                 keeps = (kh, kt) if keeps is None else (keeps[0] | kh,
                                                         keeps[1] | kt)
@@ -659,16 +695,19 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         if refreshed:
             set_flags(occ_fn(inputs))
         cache["age"] += 1
-        imgs, tm_h, tm_c, cb_h, cb_t = run_pipeline(inputs)
-        if refreshed and (rcfg.occ_prune_trans > 0
-                          or rcfg.occ_prune_contrib > 0):
+        need_diag = refreshed and (rcfg.occ_prune_trans > 0
+                                   or rcfg.occ_prune_contrib > 0)
+        if need_diag:
             # prune for the rest of the window from this frame's own
             # composite (live-serving mode: no window lookahead)
+            imgs, tm_h, tm_c, cb_h, cb_t = run_pipeline(inputs, diag=True)
             keep_h, keep_t = prune_flags(tm_h, tm_c, cb_h, cb_t)
             occ_np = np.asarray(cache["occ"])
             pruned = np.stack([occ_np[0] * keep_h, occ_np[1] * keep_t])
             set_flags(pruned, tag="pruned")
             cache["age"] = 1  # this frame consumed the refresh
+        else:
+            imgs = run_pipeline(inputs)
         return imgs
 
     render.inputs_fn = inputs_fn

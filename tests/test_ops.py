@@ -477,3 +477,30 @@ class TestFusedFarEval:
                                    atol=2e-2)
         np.testing.assert_allclose(np.asarray(ct_k), np.asarray(ct_r),
                                    atol=5e-3)
+
+    def test_split_matches_joint(self, setup):
+        """fused_far_eval_split (two single-field programs, sigma-sliced
+        head w_sf) is the same math as the joint fused_far_eval."""
+        from dfanerf_tpu.ops.fused_render import (
+            fused_far_eval, fused_far_eval_split,
+        )
+
+        d = setup
+        n = 300
+        pw_h = pack_field_weights(
+            d["params"], CFG, d["sig_h"], d["z_s"], d["z_a"], "head",
+            param_dtype=jnp.bfloat16,
+        )
+        pw_t = pack_field_weights(
+            d["params"], CFG, d["sig_t"], d["z_s"], d["z_a"], "torso",
+            param_dtype=jnp.bfloat16,
+        )
+        far = d["z_vals1"][-1]
+        args = (pw_h, pw_t, d["rays_o"][:n], d["rays_d"][:n],
+                d["rays_o_t"][:n], d["rays_d_t"][:n], far)
+        sh_j, ct_j = fused_far_eval(*args, interpret=True)
+        sh_s, ct_s = fused_far_eval_split(*args, interpret=True)
+        np.testing.assert_allclose(np.asarray(sh_s), np.asarray(sh_j),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ct_s), np.asarray(ct_j),
+                                   atol=1e-5, rtol=1e-5)
