@@ -1,9 +1,10 @@
 """Benchmark: audio-driven talking-head rendering throughput on one chip.
 
 Measures the shipped DFA-NeRF inference path (BASELINE config 3) END TO
-END: trains the synthetic 450p scene on-chip, runs the serving bake, then
-renders with the fused kernel + ERT + conservative occupancy — the same
-work run_nerf_com_trainExpLater.py:590-734 does with ~99 host-looped
+END: trains the synthetic 450p scene on-chip (softplus density +
+distortion prior, then a distortion-off polish), then renders with the
+fused pair kernels + conservative occupancy + contribution pruning — the
+same work run_nerf_com_trainExpLater.py:590-734 does with ~99 host-looped
 2048-ray chunks per frame. Also measures the random-init no-skip render
 (kernel speed of light, no algorithmic skipping) and training throughput.
 

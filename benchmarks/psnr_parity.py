@@ -442,11 +442,8 @@ def torch_self_divergence(n_steps=1500, H=64, R=512, S=8, n_frames=12,
             tc=imgs_com[fi].reshape(-1, 3)[idx],
         )
 
-    def step_rep(rep, d, lr):
+    def forward_rep(rep, d):
         tdec, taud, texp, opts = rep
-        for opt in opts:
-            for g in opt.param_groups:
-                g["lr"] = lr
         n = d["ro"].shape[0]
         signal = torch.cat(
             [taud(torch.tensor(d["aud"])), texp(torch.tensor(d["exp"]))], 1)
@@ -493,6 +490,14 @@ def torch_self_divergence(n_steps=1500, H=64, R=512, S=8, n_frames=12,
         cmix = (sig_h[..., None] * feat_h + sig_tc[..., None] * feat_t) \
             / denom[..., None]
         rgb_com = (weights(d["rd_t"], ssum)[..., None] * cmix).sum(1)
+        return rgb_head, rgb_com
+
+    def step_rep(rep, d, lr):
+        tdec, taud, texp, opts = rep
+        for opt in opts:
+            for g in opt.param_groups:
+                g["lr"] = lr
+        rgb_head, rgb_com = forward_rep(rep, d)
         loss = F.mse_loss(rgb_head, torch.tensor(d["th"])) + \
             F.mse_loss(rgb_com, torch.tensor(d["tc"]))
         for opt in opts:
@@ -502,7 +507,40 @@ def torch_self_divergence(n_steps=1500, H=64, R=512, S=8, n_frames=12,
             opt.step()
         return float(loss.detach())
 
-    ratios, l0s, l1s = [], [], []
+    # the SAME eval protocol as run()'s val_psnrs, per replica — so the
+    # replica-vs-replica converged PSNR delta is the exact noise floor the
+    # torch-vs-jax delta must be judged against
+    i_val = np.asarray(ds.i_val)
+
+    def val_psnr_rep(rep):
+        chunk = 2048
+        ses_h, ses_c = [], []
+        with torch.no_grad():
+            for fi in i_val:
+                fi = int(fi)
+                outs_h, outs_c = [], []
+                for lo in range(0, Hh * Ww, chunk):
+                    sel = slice(lo, min(lo + chunk, Hh * Ww))
+                    d = dict(
+                        aud=np.asarray(ds.auds[fi])[None],
+                        exp=np.asarray(ds.exps[fi])[None], et=et_all[fi],
+                        ro=rays_all_o[fi][sel], rd=rays_all_d[fi][sel],
+                        ro_t=rays_all_o[0][sel], rd_t=rays_all_d[0][sel],
+                        bc=bc[sel],
+                    )
+                    rh, rc = forward_rep(rep, d)
+                    outs_h.append(rh.numpy())
+                    outs_c.append(rc.numpy())
+                clip = lambda a: np.clip(np.concatenate(a), 0.0, 1.0)
+                gt_h = imgs_head[fi].reshape(-1, 3)
+                gt_c = imgs_com[fi].reshape(-1, 3)
+                ses_h.append(np.mean((clip(outs_h) - gt_h) ** 2))
+                ses_c.append(np.mean((clip(outs_c) - gt_c) ** 2))
+        to_psnr = lambda s: float(-10 * np.log10(max(np.mean(s), 1e-12)))
+        return to_psnr(ses_c), to_psnr(ses_h)
+
+    eval_every, eval_from = 250, 0.5
+    ratios, l0s, l1s, evals = [], [], [], []
     for step in range(n_steps):
         d = batch(step)
         lr = 5e-4 * 0.1 ** (step / n_steps)
@@ -514,11 +552,28 @@ def torch_self_divergence(n_steps=1500, H=64, R=512, S=8, n_frames=12,
         if step % log_every == 0:
             print(f"[selfchaos] step {step} l0={l0:.5f} l1={l1:.5f} "
                   f"ratio={ratios[-1]:.2f}", file=sys.stderr, flush=True)
+        if (step + 1) % eval_every == 0 and step >= eval_from * n_steps:
+            c0, h0 = val_psnr_rep(reps[0])
+            c1, h1 = val_psnr_rep(reps[1])
+            evals.append((step + 1, c0, c1, h0, h1))
+            print(f"[selfchaos] eval step {step + 1} com {c0:.2f}/{c1:.2f} "
+                  f"head {h0:.2f}/{h1:.2f}", file=sys.stderr, flush=True)
+    c0, h0 = val_psnr_rep(reps[0])
+    c1, h1 = val_psnr_rep(reps[1])
+    evals.append((n_steps, c0, c1, h0, h1))
+    ev = np.asarray(evals)
     return {
         "perturb": perturb, "n_steps": n_steps,
         "max_loss_ratio": max(ratios),
         "final_losses": [l0s[-1], l1s[-1]],
         "ratio_every100": ratios[::100],
+        "val_psnr_rep0_com": round(c0, 3), "val_psnr_rep1_com": round(c1, 3),
+        "val_psnr_rep0_head": round(h0, 3), "val_psnr_rep1_head": round(h1, 3),
+        "abs_delta_com_db": round(abs(c0 - c1), 4),
+        "abs_delta_head_db": round(abs(h0 - h1), 4),
+        "eval_window": [[int(s)] + [round(v, 3) for v in row]
+                        for s, *row in evals],
+        "eval_std_com": [round(float(ev[:, i].std()), 3) for i in (1, 2)],
     }
 
 

@@ -3,17 +3,19 @@
 The honest serving pipeline, end to end on one chip:
 
 1. train the synthetic audio-driven 450p scene with the SHIPPED loss
-   (identical semantics to run_nerf_com_trainExpLater.py:738-931);
-2. serving bake: a brief fine-tune with a Cauchy density-sparsity prior at
-   random frustum points (train/step.py sparsity_lambda) — an opt-in
-   serving-prep pass that clears unsupervised-space density floaters so
-   empty-space skipping can pay (quality is re-measured, not assumed);
-3. render held-out frames with the fused kernel: no-skip baseline, then
-   ERT + conservative occupancy flags;
-4. report fps for both, val PSNR before/after the bake, and the max pixel
-   error of the skipped render vs the no-skip render of the SAME weights.
+   (identical semantics to run_nerf_com_trainExpLater.py:738-931) plus a
+   distortion prior (softplus density) that keeps the field serving-sharp
+   from the start — no post-hoc sparsity bake needed;
+2. polish: a short distortion-off phase that recovers the prior's PSNR
+   cost while the field stays compact (quality re-measured, not assumed,
+   with a collapse gate);
+3. render held-out frames with the fused pair kernels: no-skip baseline,
+   then conservative occupancy + contribution pruning + catch-all elision;
+4. report median AND max fps for both, val PSNR per phase, and the max
+   pixel error of the skipped render vs the no-skip render of the SAME
+   weights across a full refresh window.
 
-    python benchmarks/serve_trained.py [n_train] [occ_thresh] [bake_steps]
+    python benchmarks/serve_trained.py [n_train] [occ_thresh] [polish_steps]
 """
 
 import json
@@ -32,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dfanerf_tpu.config import ExperimentConfig, RenderConfig, TrainConfig
+from dfanerf_tpu.models.decoder import DecoderConfig
 from dfanerf_tpu.data import make_synthetic_dataset
 from dfanerf_tpu.render.renderer import encode_frame_signals, make_frame_renderer
 from dfanerf_tpu.train import dataset_to_device, init_train_state, make_train_step
@@ -116,33 +119,42 @@ def _log(msg):
     print(f"[serve_trained] {msg}", file=sys.stderr, flush=True)
 
 
-def run(n_train=6000, occ_thresh=2.0, bake_steps=1200, bake_lambda=2e-2,
-        bake_mode="deadzone", bake_cutoff=1.0):
-    """Train + bake + serve; returns the result dict (main() prints it).
+def run(n_train=12000, occ_thresh=2.0, polish_steps=2000,
+        distortion_lambda=3e-3, distortion_from=2000,
+        prune_contrib=6e-3, far_skip_tol=2e-3):
+    """Train + polish + serve; returns the result dict (main() prints it).
 
-    Recipe notes (measured on the 450p synthetic scene):
-    - n_train 6000: +1.5-2 dB com PSNR over 4000 (the scene is still
-      improving; training costs ~18 s/1000 steps);
-    - bake: DEADZONE mode with cutoff 1.0 — penalize only sigma below
-      junk scale, which provably cannot touch surfaces. The unrestricted
-      Cauchy prior is collapse-UNSTABLE from a converged state: even
-      lambda 5e-4 measured killing the head field outright (head 46.9 ->
-      25.5 dB, the billboard basin) — hence the post-bake quality gate
-      below;
-    - occ_thresh 2.0 with the supersampled grid; refresh_every=8 with
-      the max skip error measured on this exact scene.
+    Recipe notes (measured on the 450p synthetic scene; every alternative
+    below was measured WORSE — docs/SERVING.md):
+    - softplus density + distortion loss (lambda 3e-3 from step 2000):
+      trains the field SHARP from the start, so serving needs no separate
+      sparsity bake. The bake approaches are all dominated: unrestricted
+      Cauchy from a converged state is collapse-unstable (head 46.9 ->
+      25.5 dB at lambda 5e-4), deadzone costs 3.5 dB, visibility-gated
+      can't keep up with junk the main loss keeps growing;
+    - a 2000-step lambda=0 POLISH after the distortion phase recovers
+      ~2.5 dB (com 42.4 -> 44.9) while the field stays compact;
+    - occ_thresh 2.0 on the supersampled grid; contribution pruning at
+      6e-3 (the fps/error knee: same 0.0026 max error as 3e-3, ~10%
+      fewer pairs; 1e-2 doubles the error for +3% fps);
+    - far_skip_tol 2e-3: elide the catch-all far-plane programs when the
+      refresh-time-measured c_mix deviation is under tolerance (softplus
+      keeps sigma(far) > 0 everywhere, see config.far_skip_tol).
     """
     base = dict(n_samples=64, use_fused_kernel=True, compute_dtype="bfloat16")
+    dec = DecoderConfig(density_activation="softplus")
     cfg0 = ExperimentConfig(
+        decoder=dec,
         render=RenderConfig(**base, ert_eps=0.0),
-        train=TrainConfig(n_rand=2048),
+        train=TrainConfig(n_rand=2048, distortion_lambda=distortion_lambda,
+                          distortion_from=distortion_from),
     )
     ds = make_synthetic_dataset(n_frames=8, H=H, W=W, n_samples_gt=64)
     state = init_train_state(jax.random.PRNGKey(0), cfg0)
     data = dataset_to_device(ds)
 
     t0 = time.time()
-    _log("training...")
+    _log("training (softplus + distortion)...")
     step = make_train_step(cfg0, ds)
     state, m, key = run_steps(step, state, data, n_train, jax.random.PRNGKey(1))
     train_s = time.time() - t0
@@ -150,41 +162,43 @@ def run(n_train=6000, occ_thresh=2.0, bake_steps=1200, bake_lambda=2e-2,
     psnr_trained, psnr_head_trained = val_psnr(cfg0, ds, state, data)
 
     t0 = time.time()
-    _log("baking...")
-    state_prebake = state
-    bake = make_train_step(cfg0, ds, sparsity_lambda=bake_lambda,
-                           sparsity_points=16384,
-                           sparsity_mode=bake_mode,
-                           sparsity_cutoff=bake_cutoff)
-    state, m, key = run_steps(bake, state, data, bake_steps, key)
-    bake_s = time.time() - t0
-    _log(f"baked in {bake_s:.0f}s; eval psnr...")
-    psnr_baked, psnr_head_baked = val_psnr(cfg0, ds, state, data)
+    _log("polishing (distortion off)...")
+    cfgP = ExperimentConfig(decoder=dec, render=cfg0.render,
+                            train=TrainConfig(n_rand=2048))
+    polish = make_train_step(cfgP, ds)
+    state_prepolish = state
+    state, m, key = run_steps(polish, state, data, polish_steps, key)
+    polish_s = time.time() - t0
+    _log(f"polished in {polish_s:.0f}s; eval psnr...")
+    psnr_polished, psnr_head_polished = val_psnr(cfgP, ds, state, data)
 
-    # collapse gate: the head-field death basin (docs/SERVING.md) is
-    # reachable from a converged state under sparsity pressure — a bake
-    # that costs >2 dB on either metric is REJECTED and serving runs on
-    # the un-baked weights (slower, honest; the artifact records it)
-    bake_rejected = (psnr_baked < psnr_trained - 2.0
-                     or psnr_head_baked < psnr_head_trained - 2.0)
-    if bake_rejected:
-        _log(f"bake REJECTED (com {psnr_trained:.2f}->{psnr_baked:.2f}, "
-             f"head {psnr_head_trained:.2f}->{psnr_head_baked:.2f}); "
-             "serving un-baked weights")
-        state = state_prebake
+    # collapse gate: the head-field death basin (docs/SERVING.md) is an
+    # attractor of the loss itself — any phase that costs >2 dB on either
+    # metric is REJECTED and serving runs on the pre-polish weights
+    # (slower, honest; the artifact records it)
+    polish_rejected = (psnr_polished < psnr_trained - 2.0
+                       or psnr_head_polished < psnr_head_trained - 2.0)
+    if polish_rejected:
+        _log(f"polish REJECTED (com {psnr_trained:.2f}->{psnr_polished:.2f}, "
+             f"head {psnr_head_trained:.2f}->{psnr_head_polished:.2f}); "
+             "serving pre-polish weights")
+        state = state_prepolish
 
     # serving: no-skip baseline vs the pair-compacted occupancy path on
     # the SAME weights
     _log("bench noskip...")
-    frame0 = make_frame_fn(cfg0, ds, state, data)
+    frame0 = make_frame_fn(cfgP, ds, state, data)
     fps_noskip, fps_noskip_max = bench_fps(frame0)
     ref_img = frame0(19)
 
     cfg1 = ExperimentConfig(
+        decoder=dec,
         render=RenderConfig(**base, ert_eps=1e-4, spatial_tiles=True,
                             occ_sigma_thresh=occ_thresh, occ_grid_res=48,
-                            occ_refresh_every=8, occ_pair_compaction=True),
-        train=cfg0.train,
+                            occ_refresh_every=8, occ_pair_compaction=True,
+                            occ_prune_contrib=prune_contrib,
+                            far_skip_tol=far_skip_tol),
+        train=cfgP.train,
     )
     _log(f"noskip {fps_noskip:.2f} fps; bench skip...")
     frame1 = make_frame_fn(cfg1, ds, state, data)
@@ -194,14 +208,18 @@ def run(n_train=6000, occ_thresh=2.0, bake_steps=1200, bake_lambda=2e-2,
     # so later frames also measure the stale-flag error)
     errs = [float(jnp.abs(frame1(i) - frame0(i)).max()) for i in range(8)]
     max_err = max(errs)
-    occ_frac, head_psnr_vs_bg = scene_diagnostics(cfg0, ds, state, data,
+    occ_frac, head_psnr_vs_bg = scene_diagnostics(cfgP, ds, state, data,
                                                   occ_thresh, frame0)
+    _cache = getattr(frame1.render, "cache", {})
+    far_cmix_err = _cache.get("far_cmix_err")
+    far_skipped = bool(_cache.get("far_skip", False))
 
     _log(f"skip {fps_skip:.2f} fps err {max_err:.4f}; bench hierarchical...")
     hier = hierarchical_fps(ds, state, data, occ_thresh)
 
     return {
-        "metric": "450p trained+baked serving fps (fused kernel, ERT+occupancy)",
+        "metric": "450p trained serving fps (fused pair kernels, "
+                  "occupancy+pruning)",
         "value": round(fps_skip, 3),
         "unit": "fps",
         "vs_baseline": round(fps_skip / 30.0, 4),
@@ -212,20 +230,22 @@ def run(n_train=6000, occ_thresh=2.0, bake_steps=1200, bake_lambda=2e-2,
             "speedup_vs_noskip": round(fps_skip / fps_noskip, 2),
             "max_abs_err_vs_noskip": round(max_err, 5),
             "val_psnr_trained": round(psnr_trained, 2),
-            "val_psnr_after_bake": round(psnr_baked, 2),
+            "val_psnr_after_polish": round(psnr_polished, 2),
             "val_psnr_head_trained": round(psnr_head_trained, 2),
-            "val_psnr_head_after_bake": round(psnr_head_baked, 2),
+            "val_psnr_head_after_polish": round(psnr_head_polished, 2),
             "train_steps": n_train,
-            "bake_steps": bake_steps,
-            "bake_lambda": bake_lambda,
-            "bake_mode": bake_mode,
-            "bake_cutoff": bake_cutoff,
-            "bake_rejected": bool(bake_rejected),
+            "polish_steps": polish_steps,
+            "distortion_lambda": distortion_lambda,
+            "distortion_from": distortion_from,
+            "density_activation": "softplus",
+            "occ_prune_contrib": prune_contrib,
+            "far_skip_tol": far_skip_tol,
+            "polish_rejected": bool(polish_rejected),
             "occ_sigma_thresh": occ_thresh,
             "occ_grid_res": 48,
             "occ_refresh_every": 8,
             "train_seconds": round(train_s, 1),
-            "bake_seconds": round(bake_s, 1),
+            "polish_seconds": round(polish_s, 1),
             # scene-regime transparency (see docs/SERVING.md "What the
             # trained scene converges to"): the fraction of (tile, slab)
             # occupancy flags set, and how far the HEAD-only render is
@@ -233,6 +253,10 @@ def run(n_train=6000, occ_thresh=2.0, bake_steps=1200, bake_lambda=2e-2,
             # carried entirely by the per-ray catch-all sample)
             "occ_flag_density": occ_frac,
             "head_render_vs_bg_psnr": head_psnr_vs_bg,
+            # catch-all elision: the refresh-time measured max|c_mix - bc|
+            # and whether the far programs were actually skipped
+            "far_cmix_err": far_cmix_err,
+            "far_skipped": far_skipped,
             # BASELINE config 2 on the SAME trained+baked weights:
             # head-only hierarchical 64 coarse (sigma-only kernel) + 128
             # fine (per-ray-z kernel), occupancy on both passes + ERT
@@ -244,14 +268,17 @@ def run(n_train=6000, occ_thresh=2.0, bake_steps=1200, bake_lambda=2e-2,
     }
 
 
-def hierarchical_fps(ds, state, data, occ_thresh):
-    """BASELINE config 2 measured on the trained+baked state: 450p
-    head-only coarse+fine (64+128) through the fused sigma + per-ray-z
-    kernels, with and without occupancy/ERT."""
+def hierarchical_fps(ds, state, data, occ_thresh,
+                     dec=DecoderConfig(density_activation="softplus")):
+    """BASELINE config 2 measured on the trained state: 450p head-only
+    coarse+fine (64+128) through the fused sigma + per-ray-z kernels, with
+    and without occupancy/ERT. dec must match the training decoder config
+    (density activation changes how sigma is read)."""
     from dfanerf_tpu.render.renderer import make_head_hierarchical_renderer
 
     def make(thresh, ert):
         cfg = ExperimentConfig(
+            decoder=dec,
             render=RenderConfig(
                 n_samples=64, n_importance=128, compute_dtype="bfloat16",
                 use_fused_kernel=True, ert_eps=ert,
@@ -317,6 +344,7 @@ def scene_diagnostics(cfg, ds, state, data, occ_thresh, frame0):
     occ = np.asarray(conservative_occupancy(
         pw_h, pw_t, ro, rd, ro, rd, z, occ_thresh,
         grid_res=cfg.render.occ_grid_res,
+        act=cfg.decoder.density_activation,
     )).max(0)
 
     head = np.asarray(frame0.render(
@@ -336,9 +364,11 @@ def main(*args, **kwargs):
 
 
 if __name__ == "__main__":
-    main(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 6000,
-        float(sys.argv[2]) if len(sys.argv) > 2 else 2.0,
-        int(sys.argv[3]) if len(sys.argv) > 3 else 1200,
-        float(sys.argv[4]) if len(sys.argv) > 4 else 5e-3,
-    )
+    # positional overrides mirror run()'s own defaults — no literals here
+    # so the CLI and run() can't drift apart
+    _defaults = run.__defaults__
+    main(*(
+        type(_defaults[k])(sys.argv[k + 1]) if len(sys.argv) > k + 1
+        else _defaults[k]
+        for k in range(3)
+    ))

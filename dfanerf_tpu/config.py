@@ -94,6 +94,19 @@ class RenderConfig:
     # weights untouched, so val PSNR is exactly the trained model's.
     # Skipping a sub-eps pair changes a ray by <= ~n_slabs*eps/channel;
     # benchmarks report the realized max error vs no-skip. 0 disables.
+    far_skip_tol: float = 0.0  # pair-compaction catch-all elision: with
+    # last_dist >= 1e8 the far-plane alphas saturate to EXACTLY 1.0 in
+    # f32 (exp(-(sigma+2e-6)*1e10) underflows for any sigma >= 0), so the
+    # far-plane field evals reach the output ONLY through the com stack's
+    # sigma-mixed catch-all color c_mix = (sh*bc + 1e-6*ct)/(sh + 1e-6)
+    # (run_nerf_com_trainExpLater.py:863-886 last-sample math). At each
+    # flag refresh the renderer evaluates the far pass once and measures
+    # max|c_mix - bc| on that frame; below this tolerance the per-frame
+    # far programs are skipped for the window (c_mix := bc, exact for the
+    # head stack). For a softplus-density model sh > 0 everywhere, making
+    # the deviation ~1e-6/sh; relu models with sh == 0 on background rays
+    # measure a large deviation and auto-disable. 0 disables the lever.
+    # Window staleness is covered by the max-error-vs-noskip discipline.
     occ_union_window: bool = True  # conservative flags for a refresh
     # window: at each refresh the flags are the UNION over the window's
     # (pose, signal) pairs, so stale-flag error within the window is

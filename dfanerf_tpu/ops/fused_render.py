@@ -38,7 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 from dfanerf_tpu.core.posenc import sincos_posenc
 
 R_T = 256      # rays per tile
-S_SLAB = 8     # samples marched per grid step (16 compiles pathologically slowly)
+# samples marched per grid step (16 compiles pathologically slowly; 4
+# halves the wasted samples per occupied pair on sharp baked fields at
+# the cost of smaller kernel programs — env-tunable for serving sweeps)
+S_SLAB = int(os.environ.get("DFANERF_S_SLAB", "8"))
 PE_PAD = 64
 
 

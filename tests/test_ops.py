@@ -504,3 +504,44 @@ class TestFusedFarEval:
                                    atol=1e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(ct_s), np.asarray(ct_j),
                                    atol=1e-5, rtol=1e-5)
+
+
+class TestFarSkipBound:
+    def test_nofar_blend_within_measured_cmix_bound(self):
+        """The far_skip_tol contract (config.py): with last_dist=1e10 the
+        far alphas saturate to exactly 1.0, the head stack's catch-all is
+        EXACTLY the background pixel, and the com stack's deviation from
+        the no-far blend is bounded by the refresh-time-measured
+        max|c_mix - bc| (renderer.cmix_err_fn's expression)."""
+        from dfanerf_tpu.ops.fused_render import bg_blend
+
+        rng = np.random.RandomState(3)
+        n = 512
+        # sh spans dead-zero through large (relu AND softplus regimes)
+        sh = jnp.asarray(np.concatenate(
+            [np.zeros(64), 10.0 ** rng.uniform(-6, 2, n - 64)]
+        ).astype(np.float32))[:, None]
+        ct = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+        bc = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+        rd = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        ah = jnp.asarray(rng.rand(n, 3).astype(np.float32)) * 0.5
+        ac = jnp.asarray(rng.rand(n, 3).astype(np.float32)) * 0.5
+        t_h = jnp.asarray(rng.rand(n, 1).astype(np.float32))
+        t_c = jnp.asarray(rng.rand(n, 1).astype(np.float32))
+
+        head_f, com_f = bg_blend(sh, ct, rd, rd, bc, 1e10, ah, ac, t_h, t_c)
+        head_n = ah + t_h * bc
+        com_n = ac + t_c * bc
+        # head: exact (alpha_h == 1.0 bit-for-bit in f32)
+        np.testing.assert_array_equal(np.asarray(head_f), np.asarray(head_n))
+        # com: within the measured c_mix deviation (cmix_err_fn expression)
+        ssum = sh + 1e-6
+        denom = jnp.where(ssum == 0.0, 1e-4, ssum)
+        c_mix = (sh * bc + 1e-6 * ct) / denom
+        bound = float(jnp.max(jnp.abs(c_mix - bc)))
+        gap = float(jnp.max(jnp.abs(com_f - com_n)))
+        assert gap <= bound + 1e-7, (gap, bound)
+        # and the bound is TIGHT on dead-sigma rays (relu regime): those
+        # rays measure a large deviation, auto-disabling the skip
+        assert bound > 0.1
