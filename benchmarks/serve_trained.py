@@ -50,7 +50,9 @@ def run_steps(step, state, data, n, key):
     return state, m, key
 
 
-def make_frame_fn(cfg, ds, state, data):
+def make_frame_fn(cfg, ds, state, data, per_slot=False):
+    """per_slot: serve each frame under its own pinned flag state (the
+    offline-window mode after refresh_union(..., per_slot=True))."""
     render = make_frame_renderer(cfg, ds.hwfcxy, ds.near, ds.far)
     sig_fn = jax.jit(
         lambda p, i: encode_frame_signals(
@@ -61,10 +63,11 @@ def make_frame_fn(cfg, ds, state, data):
 
     def frame(i):
         sig, sig_t = sig_fn(state["params"], jnp.int32(i % ds.n_frames))
+        kw = {"window_slot": i % ds.n_frames} if per_slot else {}
         return render(
             state["params"], state["z_shape"], state["z_app"],
             data["poses"][i % ds.n_frames], data["poses"][0],
-            sig, sig_t, data["bc_img"],
+            sig, sig_t, data["bc_img"], **kw,
         )[1]
 
     frame.render = render
@@ -72,14 +75,18 @@ def make_frame_fn(cfg, ds, state, data):
     return frame
 
 
-def bench_fps(frame, n=20, passes=3):
+def bench_fps(frame, n=20, passes=3, warm=1):
     """Timed passes; returns (median, max) fps over the passes.
 
     The per-frame Python dispatch makes the wall clock sensitive to
     transient host contention, which can only slow a pass — max is the
     steady-state throughput, median the typical one. The artifact reports
-    BOTH; the headline uses the median."""
-    frame(0).block_until_ready()
+    BOTH; the headline uses the median. ``warm`` frames run first so every
+    program class compiles outside the timed region (live-mode renderers
+    need a full refresh cycle: refresh frame + fast-path frames)."""
+    for i in range(warm):
+        out = frame(i)
+    out.block_until_ready()
     rates = []
     for _ in range(passes):
         t0 = time.time()
@@ -152,44 +159,82 @@ def run(n_train=12000, occ_thresh=2.0, polish_steps=2000,
     ds = make_synthetic_dataset(n_frames=8, H=H, W=W, n_samples_gt=64)
     state = init_train_state(jax.random.PRNGKey(0), cfg0)
     data = dataset_to_device(ds)
-
-    t0 = time.time()
-    _log("training (softplus + distortion)...")
-    step = make_train_step(cfg0, ds)
-    state, m, key = run_steps(step, state, data, n_train, jax.random.PRNGKey(1))
-    train_s = time.time() - t0
-    _log(f"trained in {train_s:.0f}s; eval psnr...")
-    psnr_trained, psnr_head_trained = val_psnr(cfg0, ds, state, data)
-
-    t0 = time.time()
-    _log("polishing (distortion off)...")
     cfgP = ExperimentConfig(decoder=dec, render=cfg0.render,
                             train=TrainConfig(n_rand=2048))
-    polish = make_train_step(cfgP, ds)
-    state_prepolish = state
-    state, m, key = run_steps(polish, state, data, polish_steps, key)
-    polish_s = time.time() - t0
-    _log(f"polished in {polish_s:.0f}s; eval psnr...")
-    psnr_polished, psnr_head_polished = val_psnr(cfgP, ds, state, data)
 
-    # collapse gate: the head-field death basin (docs/SERVING.md) is an
-    # attractor of the loss itself — any phase that costs >2 dB on either
-    # metric is REJECTED and serving runs on the pre-polish weights
-    # (slower, honest; the artifact records it)
-    polish_rejected = (psnr_polished < psnr_trained - 2.0
-                       or psnr_head_polished < psnr_head_trained - 2.0)
-    if polish_rejected:
-        _log(f"polish REJECTED (com {psnr_trained:.2f}->{psnr_polished:.2f}, "
-             f"head {psnr_head_trained:.2f}->{psnr_head_polished:.2f}); "
-             "serving pre-polish weights")
-        state = state_prepolish
+    # dev-iteration cache (env-gated, never set in driver/bench runs): the
+    # train+polish phases are deterministic given the recipe args, so perf
+    # work on the serving path can reuse one trained state
+    cache_path = os.environ.get("DFANERF_STATE_CACHE", "")
+    meta = None
+    if cache_path and os.path.exists(cache_path):
+        from dfanerf_tpu.train.checkpoint import load_checkpoint
+
+        state = load_checkpoint(cache_path, state)
+        with open(cache_path + ".json") as f:
+            meta = json.load(f)
+        _log(f"loaded cached trained state from {cache_path}")
+    if meta is None:
+        t0 = time.time()
+        _log("training (softplus + distortion)...")
+        step = make_train_step(cfg0, ds)
+        state, m, key = run_steps(step, state, data, n_train,
+                                  jax.random.PRNGKey(1))
+        train_s = time.time() - t0
+        _log(f"trained in {train_s:.0f}s; eval psnr...")
+        psnr_trained, psnr_head_trained = val_psnr(cfg0, ds, state, data)
+
+        t0 = time.time()
+        _log("polishing (distortion off)...")
+        polish = make_train_step(cfgP, ds)
+        state_prepolish = state
+        state, m, key = run_steps(polish, state, data, polish_steps, key)
+        polish_s = time.time() - t0
+        _log(f"polished in {polish_s:.0f}s; eval psnr...")
+        psnr_polished, psnr_head_polished = val_psnr(cfgP, ds, state, data)
+
+        # collapse gate: the head-field death basin (docs/SERVING.md) is an
+        # attractor of the loss itself — any phase that costs >2 dB on
+        # either metric is REJECTED and serving runs on the pre-polish
+        # weights (slower, honest; the artifact records it)
+        polish_rejected = (psnr_polished < psnr_trained - 2.0
+                           or psnr_head_polished < psnr_head_trained - 2.0)
+        if polish_rejected:
+            _log(f"polish REJECTED (com {psnr_trained:.2f}->"
+                 f"{psnr_polished:.2f}, head {psnr_head_trained:.2f}->"
+                 f"{psnr_head_polished:.2f}); serving pre-polish weights")
+            state = state_prepolish
+        meta = dict(psnr_trained=psnr_trained,
+                    psnr_head_trained=psnr_head_trained,
+                    psnr_polished=psnr_polished,
+                    psnr_head_polished=psnr_head_polished,
+                    polish_rejected=bool(polish_rejected),
+                    train_s=train_s, polish_s=polish_s)
+        if cache_path:
+            from dfanerf_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(cache_path, state)
+            with open(cache_path + ".json", "w") as f:
+                json.dump(meta, f)
+    (psnr_trained, psnr_head_trained, psnr_polished, psnr_head_polished,
+     polish_rejected, train_s, polish_s) = (
+        meta["psnr_trained"], meta["psnr_head_trained"],
+        meta["psnr_polished"], meta["psnr_head_polished"],
+        meta["polish_rejected"], meta["train_s"], meta["polish_s"])
 
     # serving: no-skip baseline vs the pair-compacted occupancy path on
-    # the SAME weights
+    # the SAME weights, in BOTH serving modes:
+    # - offline/window: the reference's own serving shape (render a video
+    #   from known poses/signals, scripts/test_obama.sh): refresh_union
+    #   preps flags once for the window, every frame runs the 4-program
+    #   fast path; the prep cost is reported as stream-start latency;
+    # - live: poses/signals arrive frame by frame; conservative flags
+    #   refresh every occ_refresh_every frames, prune keep-masks carried
+    #   (occ_prune_carry) with a full diagnostic re-derive every 4th
+    #   refresh.
     _log("bench noskip...")
     frame0 = make_frame_fn(cfgP, ds, state, data)
     fps_noskip, fps_noskip_max = bench_fps(frame0)
-    ref_img = frame0(19)
 
     cfg1 = ExperimentConfig(
         decoder=dec,
@@ -197,17 +242,55 @@ def run(n_train=12000, occ_thresh=2.0, polish_steps=2000,
                             occ_sigma_thresh=occ_thresh, occ_grid_res=48,
                             occ_refresh_every=8, occ_pair_compaction=True,
                             occ_prune_contrib=prune_contrib,
-                            far_skip_tol=far_skip_tol),
+                            far_skip_tol=far_skip_tol, far_subsample=2,
+                            occ_prune_carry=3),
         train=cfgP.train,
     )
-    _log(f"noskip {fps_noskip:.2f} fps; bench skip...")
-    frame1 = make_frame_fn(cfg1, ds, state, data)
-    fps_skip, fps_skip_max = bench_fps(frame1)
-    # skip-lever error on THIS trained scene, across several frames (each
-    # frame = a different conditioning signal; flags refresh every 8 frames
-    # so later frames also measure the stale-flag error)
-    errs = [float(jnp.abs(frame1(i) - frame0(i)).max()) for i in range(8)]
+    _log(f"noskip {fps_noskip:.2f} fps; bench skip (offline window)...")
+    frame1 = make_frame_fn(cfg1, ds, state, data, per_slot=True)
+    # offline mode: prep each window frame's own pinned flag state once
+    # (timed = the stream-start latency), then serve every frame on the
+    # fast path under its own pruned pair lists — the union's pair
+    # inflation is avoided (refresh_union per_slot docstring)
+    frame1.render(
+        state["params"], state["z_shape"], state["z_app"],
+        data["poses"][0], data["poses"][0],
+        *frame1.sig_fn(state["params"], jnp.int32(0)), data["bc_img"],
+    )[1].block_until_ready()  # compile inputs_fn/occ/diag programs
+    t0 = time.time()
+    window = [frame1.render.inputs_fn(
+        state["params"], state["z_shape"], state["z_app"],
+        data["poses"][i], data["poses"][0],
+        *frame1.sig_fn(state["params"], jnp.int32(i)), data["bc_img"],
+    ) for i in range(ds.n_frames)]
+    frame1.render.refresh_union(window, per_slot=True)
+    prep_s = time.time() - t0
+    fps_skip, fps_skip_max = bench_fps(frame1, warm=9)
+    # skip-lever error on THIS trained scene across the whole window (every
+    # frame = a different conditioning signal served under its own pinned
+    # flags, so the per-slot prune staleness is included): max/mean pixel
+    # error and the PSNR of the skipped render against the no-skip render
+    # of the same weights (the VERDICT round-2 "dense-regime error" ask)
+    errs, mean_errs, psnrs = [], [], []
+    for i in range(8):
+        d = jnp.abs(frame1(i) - frame0(i))
+        errs.append(float(d.max()))
+        mean_errs.append(float(d.mean()))
+        psnrs.append(float(-10.0 * jnp.log10(jnp.maximum(
+            jnp.mean(d.astype(jnp.float32) ** 2), 1e-12))))
     max_err = max(errs)
+    mean_err = float(np.mean(mean_errs))
+    psnr_vs_noskip = min(psnrs)
+
+    _log(f"offline {fps_skip:.2f} fps; bench skip (live)...")
+    cfg2 = ExperimentConfig(decoder=dec, render=cfg1.render,
+                            train=cfgP.train)
+    frame2 = make_frame_fn(cfg2, ds, state, data)
+    fps_live, fps_live_max = bench_fps(frame2, warm=9)
+    # live-mode error: frames span refreshes with carried keep-masks
+    errs_live = [float(jnp.abs(frame2(i) - frame0(i)).max())
+                 for i in range(8)]
+    max_err_live = max(errs_live)
     occ_frac, head_psnr_vs_bg = scene_diagnostics(cfgP, ds, state, data,
                                                   occ_thresh, frame0)
     _cache = getattr(frame1.render, "cache", {})
@@ -218,17 +301,23 @@ def run(n_train=12000, occ_thresh=2.0, polish_steps=2000,
     hier = hierarchical_fps(ds, state, data, occ_thresh)
 
     return {
-        "metric": "450p trained serving fps (fused pair kernels, "
-                  "occupancy+pruning)",
+        "metric": "450p trained serving fps (offline window, per-slot "
+                  "pinned flags, fused pair kernels, occupancy+pruning)",
         "value": round(fps_skip, 3),
         "unit": "fps",
         "vs_baseline": round(fps_skip / 30.0, 4),
         "extra": {
             "fps_skip_max": round(fps_skip_max, 3),
+            "fps_live": round(fps_live, 3),
+            "fps_live_max": round(fps_live_max, 3),
+            "max_abs_err_vs_noskip_live": round(max_err_live, 5),
+            "serving_prep_s": round(prep_s, 3),
             "fps_noskip": round(fps_noskip, 3),
             "fps_noskip_max": round(fps_noskip_max, 3),
             "speedup_vs_noskip": round(fps_skip / fps_noskip, 2),
             "max_abs_err_vs_noskip": round(max_err, 5),
+            "mean_abs_err_vs_noskip": round(mean_err, 6),
+            "psnr_vs_noskip_db": round(psnr_vs_noskip, 2),
             "val_psnr_trained": round(psnr_trained, 2),
             "val_psnr_after_polish": round(psnr_polished, 2),
             "val_psnr_head_trained": round(psnr_head_trained, 2),

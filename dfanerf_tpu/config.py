@@ -107,6 +107,24 @@ class RenderConfig:
     # the deviation ~1e-6/sh; relu models with sh == 0 on background rays
     # measure a large deviation and auto-disable. 0 disables the lever.
     # Window staleness is covered by the max-error-vs-noskip discipline.
+    far_subsample: int = 1  # pair-compaction catch-all resolution: the
+    # far-plane field values sh(far)/ct(far) are spatially smooth (empty
+    # space + the torso's far color), so the serving fast path may
+    # evaluate them on an in-tile (16/ss)^2 pixel subgrid and
+    # nearest-upsample (1 = full resolution/exact; 2 = quarter the far
+    # points). The realized error is covered by the benchmarks'
+    # max-error-vs-noskip discipline. Refresh-time far_skip_tol
+    # measurement always runs at full resolution.
+    occ_prune_carry: int = 0  # live-mode prune amortization: deriving the
+    # prune keep-masks needs a full diagnostic render at UNPRUNED flag
+    # counts (~3x the pruned pair count), which dominates the refresh
+    # cost. The keep-masks are geometry-level ([T, J] tile/slab masks) and
+    # stay valid across the small pose/signal motion of one window, so a
+    # refresh may re-AND fresh conservative occupancy flags with the LAST
+    # derived masks instead; masks are re-derived from a full diagnostic
+    # render every (occ_prune_carry + 1)-th refresh. 0 = re-derive at
+    # every refresh (no carry). The staleness error is covered by the
+    # benchmarks' max-error-vs-noskip discipline across carried windows.
     occ_union_window: bool = True  # conservative flags for a refresh
     # window: at each refresh the flags are the UNION over the window's
     # (pose, signal) pairs, so stale-flag error within the window is

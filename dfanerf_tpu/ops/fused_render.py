@@ -972,8 +972,14 @@ def _pair_field_kernel(
         encs.append(jnp.sin(pts * freq + ph))
     pe = jnp.concatenate(encs, axis=0).astype(jnp.bfloat16)
 
+    # NOTE precision structure (measured): the 9-layer dependent matmul
+    # chain is MXU-bound at ~55% utilization; running the inter-layer
+    # bias/relu epilogues in bf16 measured ZERO end-to-end gain (and
+    # Mosaic requires 32-bit matmul accumulators), so the epilogues stay
+    # f32-accurate.
     if branch == "torso":
-        dh = jnp.maximum(_mm(pe, d_w1[:]) + d_b1[:], 0.0).astype(jnp.bfloat16)
+        dh = jnp.maximum(_mm(pe, d_w1[:]) + d_b1[:],
+                         0.0).astype(jnp.bfloat16)
         for i in range(4):
             dh = jnp.maximum(_mm(dh, d_wk[i]) + d_bk[i], 0.0)
             if i == 2:
@@ -981,9 +987,9 @@ def _pair_field_kernel(
             dh = dh.astype(jnp.bfloat16)
         d_out = _mm(dh, d_wout[:]) + d_bout[:]
         pe128 = jnp.concatenate([pe.astype(jnp.float32),
-                                 jnp.zeros_like(pe, jnp.float32)], axis=-1)
+                                 jnp.zeros_like(pe, jnp.float32)],
+                                axis=-1)
         pe = (d_out + sig_pad[:] + pe128).astype(jnp.bfloat16)
-
     h = jnp.maximum(_mm(pe, w_in[:]) + b_in[:], 0.0).astype(jnp.bfloat16)
     for i in range(7):
         h = jnp.maximum(_mm(h, w_blocks[i]) + b_blocks[i], 0.0)
@@ -1013,6 +1019,26 @@ def _pair_field_kernel(
     b_out_ref[0] = rgb[:, 2].reshape(S_SLAB, R_T).astype(jnp.bfloat16)
 
 
+def pe_replicate(rays: jnp.ndarray) -> jnp.ndarray:
+    """PE-slot replication for the fused kernels: [n, 3] -> [n, PE_PAD]
+    fp32, slot c holding coordinate c % 3 (zeroed past the 60 valid
+    slots). Callers that prep kernel operands in a separate XLA program
+    (the serving fast path) apply this once instead of per kernel."""
+    coord_idx = jnp.arange(PE_PAD) % 3
+    slot_valid = (jnp.arange(PE_PAD) < 60).astype(jnp.float32)
+    return (rays[:, coord_idx] * slot_valid).astype(jnp.float32)
+
+
+def pe_freq_phase() -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The [1, PE_PAD] frequency/phase rows matching pe_replicate."""
+    slot_valid = (jnp.arange(PE_PAD) < 60).astype(jnp.float32)
+    freqs = (jnp.pi * (2.0 ** (jnp.arange(PE_PAD) // 6)) / 2.0) * slot_valid
+    phase = jnp.where(
+        (jnp.arange(PE_PAD) % 6) >= 3, jnp.pi / 2.0, 0.0
+    ) * slot_valid
+    return freqs[None].astype(jnp.float32), phase[None].astype(jnp.float32)
+
+
 def pair_field_eval(
     pw: Dict[str, jnp.ndarray],
     branch: str,
@@ -1039,7 +1065,39 @@ def pair_field_eval(
     S = z_vals.shape[0]
     assert S % S_SLAB == 0 and n % R_T == 0
     n_slabs = S // S_SLAB
-    n_tiles = n // R_T
+
+    o_r, d_r = pe_replicate(rays_o), pe_replicate(rays_d)
+    # dummy tile row for padding pairs
+    o_r = jnp.concatenate([o_r, jnp.zeros((R_T, PE_PAD), o_r.dtype)])
+    d_r = jnp.concatenate([d_r, jnp.zeros((R_T, PE_PAD), d_r.dtype)])
+    vr = view_bias(pw, rays_d).astype(jnp.bfloat16)
+    vr = jnp.concatenate([vr, jnp.zeros((R_T, 256), vr.dtype)])
+    return pair_field_eval_prepped(pw, branch, o_r, d_r, vr, z_vals,
+                                   t_idx, j_idx, interpret=interpret,
+                                   act=act)
+
+
+def pair_field_eval_prepped(
+    pw: Dict[str, jnp.ndarray],
+    branch: str,
+    o_r: jnp.ndarray,
+    d_r: jnp.ndarray,
+    vr: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    t_idx: jnp.ndarray,
+    j_idx: jnp.ndarray,
+    interpret: bool = False,
+    act: str = "relu",
+) -> jnp.ndarray:
+    """pair_field_eval given pre-prepped operands (the serving fast path:
+    pe_replicate / view_bias / the dummy row live in the caller's one
+    merged XLA prep program instead of being re-derived inside every
+    kernel program). o_r/d_r [(n_tiles+1)*R_T, PE_PAD] fp32 (pe_replicate
+    output + dummy tile row); vr [(n_tiles+1)*R_T, 256] bf16."""
+    S = z_vals.shape[0]
+    assert S % S_SLAB == 0 and o_r.shape[0] % R_T == 0
+    n_slabs = S // S_SLAB
+    n_tiles = o_r.shape[0] // R_T - 1
     if t_idx.shape[0] == 0:
         # nothing occupied for this field this frame — the composite masks
         # every slab off, so any buffer contents work; zeros are cheapest
@@ -1049,25 +1107,10 @@ def pair_field_eval(
             for c in range(4)
         )
 
-    coord_idx = jnp.arange(PE_PAD) % 3
-    slot_valid = (jnp.arange(PE_PAD) < 60).astype(jnp.float32)
-
-    def replicate(r):
-        return (r[:, coord_idx] * slot_valid).astype(jnp.float32)
-
-    o_r, d_r = replicate(rays_o), replicate(rays_d)
-    # dummy tile row for padding pairs
-    o_r = jnp.concatenate([o_r, jnp.zeros((R_T, PE_PAD), o_r.dtype)])
-    d_r = jnp.concatenate([d_r, jnp.zeros((R_T, PE_PAD), d_r.dtype)])
-    freqs = (jnp.pi * (2.0 ** (jnp.arange(PE_PAD) // 6)) / 2.0) * slot_valid
-    phase = jnp.where(
-        (jnp.arange(PE_PAD) % 6) >= 3, jnp.pi / 2.0, 0.0
-    ) * slot_valid
+    freqs, phase = pe_freq_phase()
     z_rows = jnp.zeros((n_slabs, 8, 128), jnp.float32).at[:, 0, :S_SLAB].set(
         z_vals.astype(jnp.float32).reshape(n_slabs, S_SLAB)
     )
-    vr = view_bias(pw, rays_d).astype(jnp.bfloat16)
-    vr = jnp.concatenate([vr, jnp.zeros((R_T, 256), vr.dtype)])
 
     weight_ops = [
         pw["w_in"], pw["b_in"][None], pw["w_blocks"], pw["b_blocks"],
@@ -1122,8 +1165,7 @@ def pair_field_eval(
         ),
         interpret=interpret,
     )(t_idx.astype(jnp.int32), j_idx.astype(jnp.int32), z_rows,
-      o_r, d_r, vr, freqs[None].astype(jnp.float32),
-      phase[None].astype(jnp.float32), *weight_ops)
+      o_r, d_r, vr, freqs, phase, *weight_ops)
 
 
 def _far_kernel(
@@ -1326,8 +1368,30 @@ def fused_far_eval_split(
     head pass evaluates only sigma with a lane-sliced w_sf, the torso pass
     only rgb; each runs 2048-row blocks (vs 1024 joint) for better MXU
     pipelining."""
-    n = rays_o.shape[0]
-    ROWS = int(os.environ.get("DFANERF_FAR_ROWS", "2048"))
+    ph = pe_replicate(rays_o + rays_d * far)
+    pt = pe_replicate(rays_o_t + rays_d_t * far)
+    vr_t = view_bias(pw_t, rays_d_t).astype(jnp.bfloat16)
+    return fused_far_eval_split_prepped(pw_h, pw_t, ph, pt, vr_t,
+                                        interpret=interpret, act=act)
+
+
+def fused_far_eval_split_prepped(
+    pw_h: Dict[str, jnp.ndarray],
+    pw_t: Dict[str, jnp.ndarray],
+    ph: jnp.ndarray,
+    pt: jnp.ndarray,
+    vr_t: jnp.ndarray,
+    interpret: bool = False,
+    act: str = "relu",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """fused_far_eval_split given pre-replicated far-plane points
+    ph/pt [n, PE_PAD] (pe_replicate of o + d*far) and the torso view bias
+    vr_t [n, 256] bf16 — the serving fast path preps these in its merged
+    XLA program (possibly on a SUBSAMPLED ray grid; sh/ct are spatially
+    smooth at the far plane, and the realized upsampling error is covered
+    by the benchmarks' max-error-vs-noskip discipline)."""
+    n = ph.shape[0]
+    ROWS = min(int(os.environ.get("DFANERF_FAR_ROWS", "2048")), 8 * (-(-n // 8)))
     n_blk = -(-n // ROWS)
     n_pad = n_blk * ROWS
 
@@ -1336,18 +1400,8 @@ def fused_far_eval_split(
             [x, jnp.zeros((n_pad - n,) + x.shape[1:], x.dtype)], axis=0
         )
 
-    coord_idx = jnp.arange(PE_PAD) % 3
-    slot_valid = (jnp.arange(PE_PAD) < 60).astype(jnp.float32)
-
-    def replicate(r):
-        return (r[:, coord_idx] * slot_valid).astype(jnp.float32)
-
-    freqs = (jnp.pi * (2.0 ** (jnp.arange(PE_PAD) // 6)) / 2.0) * slot_valid
-    phase = jnp.where(
-        (jnp.arange(PE_PAD) % 6) >= 3, jnp.pi / 2.0, 0.0
-    ) * slot_valid
-    freqs = freqs[None].astype(jnp.float32)
-    phase = phase[None].astype(jnp.float32)
+    ph, pt, vr_t = padded(ph), padded(pt), padded(vr_t)
+    freqs, phase = pe_freq_phase()
 
     def row_spec(lane):
         return pl.BlockSpec((ROWS, lane), lambda b: (b, 0),
@@ -1362,7 +1416,6 @@ def fused_far_eval_split(
         hw["w_skip"], hw["b_skip"][None],
         hw["w_sf"][:, :128], hw["b_sf"][None, :128],
     ]
-    ph = padded(replicate(rays_o + rays_d * far))
     sig = pl.pallas_call(
         functools.partial(_far_head_kernel, act=act),
         grid=(n_blk,),
@@ -1382,8 +1435,6 @@ def fused_far_eval_split(
         tw["d_wskip"], tw["d_bskip"][None], tw["d_wout"], tw["d_bout"][None],
         tw["sig_pad"][None],
     ]
-    pt = padded(replicate(rays_o_t + rays_d_t * far))
-    vr_t = padded(view_bias(pw_t, rays_d_t).astype(jnp.bfloat16))
     outs = pl.pallas_call(
         functools.partial(_far_torso_kernel, act=act),
         grid=(n_blk,),

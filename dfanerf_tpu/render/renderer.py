@@ -91,9 +91,13 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
                     0, 2, 1, 3, 4).reshape(hb * wb * 256, 3))
 
             def tiled_rays(pose):
-                rd = jnp.einsum(
-                    "nj,ij->ni", dirs_tiled, pose[:3, :3],
-                    precision=jax.lax.Precision.HIGHEST)
+                # elementwise rotation: the [n,3]x[3,3] einsum lowers to a
+                # lane-padded matmul costing ~3.5 ms/frame at 450p; three
+                # broadcast mul-adds are pure VPU (fp32 exact, fixed order)
+                R = pose[:3, :3]
+                rd = (dirs_tiled[:, 0:1] * R[:, 0][None]
+                      + dirs_tiled[:, 1:2] * R[:, 1][None]
+                      + dirs_tiled[:, 2:3] * R[:, 2][None])
                 return jnp.broadcast_to(pose[:3, -1], rd.shape), rd
 
         def frame_inputs(params, z_shape, z_app, pose, pose_torso,
@@ -149,7 +153,8 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
 
         if rcfg.occ_pair_compaction:
             return _make_pair_compaction_renderer(
-                cfg, rcfg, perm, z_vals_c, frame_inputs, unpermute)
+                cfg, rcfg, perm, z_vals_c, frame_inputs, unpermute,
+                tiled_rays, tile_order)
 
         if not rcfg.occ_tile_compaction:
             # occupancy serving path (flags refreshed every
@@ -449,7 +454,7 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
 
 
 def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
-                                   unpermute):
+                                   unpermute, tiled_rays, tile_order):
     """The (tile, slab)-pair-compacted serving path.
 
     Per frame: each field's Pallas kernel runs a grid of EXACTLY its
@@ -458,29 +463,44 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
     then composites both buffers + the bg catch-all epilogue. Compared to
     the tile-class path this wastes nothing on predicated-off slabs or on
     whole-tile bucket padding — the work is proportional to the occupied
-    pair count (~8% of the no-skip evaluation on the baked benchmark
+    pair count (~9% of the no-skip evaluation on the dense benchmark
     scene).
 
-    Three jit-program classes per frame (inputs prep, the two kernels, the
-    composite) — the kernels stay alone in their programs per the
-    composed-program kernel-fault rule (see occ_tile_compaction notes).
+    Steady-state frames run FOUR jit programs (the per-call dispatch on
+    the remote-TPU toolchain is ~1-3 ms, so program count is a first-order
+    serving cost):
+      1. prep  — one merged XLA program: signal folding (ops/pack), tiled
+         ray generation (elementwise rotation — the [n,3]x[3,3] einsum
+         lowering cost ~3.5 ms), bc tiling, the occupied-tile gather,
+         pe_replicate + view_bias kernel operands, and the (optionally
+         2x2-subsampled, rcfg.far_subsample) far-plane point prep;
+      2. kernels — the two pair Pallas kernels (one program, nothing else
+         in it per the composed-program kernel-fault rule);
+      3. far — the two far-plane Pallas kernels;
+      4. finish — deferred composite + far upsample + bg blend +
+         tile-blocked scatter + unpermute.
 
     Refreshes every occ_refresh_every frames re-sync ~27 KB of flags to
-    the host to rebuild the concrete pair lists. ``render.refresh_union``
-    can be called with a list of already-prepped frame inputs to make the
-    flags the UNION over a window of (pose, signal) pairs — exactly
-    conservative for every frame in the window (offline rendering knows
-    its window; live serving relies on the occupancy grid's dilation
-    margin instead).
+    the host to rebuild the concrete pair lists (running the legacy
+    multi-program path once for the prune diagnostics).
+    ``render.refresh_union`` can be called with a list of already-prepped
+    frame inputs to make the flags the UNION over a window of
+    (pose, signal) pairs — exactly conservative for every frame in the
+    window (offline rendering knows its window; live serving relies on
+    the occupancy grid's dilation margin instead).
     """
     import numpy as np
 
     from dfanerf_tpu.ops.fused_render import (
         R_T, S_SLAB, bg_blend, conservative_occupancy,
-        deferred_composite, fused_far_eval_split, pair_field_eval,
+        deferred_composite, fused_far_eval_split,
+        fused_far_eval_split_prepped, pair_field_eval,
+        pair_field_eval_prepped, pe_replicate, view_bias,
     )
+    from dfanerf_tpu.ops.pack import pack_field_weights
 
     act = cfg.decoder.density_activation
+    dcfg = cfg.decoder
 
     T = len(perm) // R_T
     J = rcfg.n_samples // S_SLAB
@@ -614,8 +634,13 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             print(f"[pairs:far_skip] cmix_err={err:.2e} "
                   f"skip={cache['far_skip']}", flush=True)
 
-    buckets = [0, 128, 256, 384, 512, 576, 640, 704, 768, 832, 896, 960,
-               1024, 1280, 1536, 2048, 2560, 3072, 4096, T * J]
+    # pair-count ladder: step-32 rungs through the serving range (each
+    # padding pair costs a full 2048-sample kernel step ~25 us, so at
+    # ~600 pairs a 128-wide rung wastes up to 10% of the kernel; distinct
+    # rungs cost one compile each, amortized by the compilation cache)
+    buckets = ([0, 128, 192, 256, 320, 384]
+               + list(range(416, 1025, 32))
+               + [1280, 1536, 2048, 2560, 3072, 4096, T * J])
     tile_buckets = [64, 128, 192, 256, 320, 416, 512, 672, T]
 
     def bucket(c, ladder=buckets):
@@ -715,7 +740,10 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             keep_t &= expand_tiles(cb_t) > eps
         return keep_h, keep_t
 
-    def refresh_union(window_inputs):
+    _SLOT_KEYS = ("lists", "occ", "tiles_u", "tiles_sel", "occ_sub",
+                  "tiles_scatter", "far_skip", "far_cmix_err")
+
+    def refresh_union(window_inputs, per_slot=False):
         """Serving prep over a window of prepped frame inputs (each an
         inputs_fn result): union occupancy flags over the window's
         (pose, signal) pairs — exactly conservative for every window
@@ -725,7 +753,25 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         render() calls skip the per-window refresh entirely (the offline /
         stream-start serving mode; call again to re-prep). The pruning
         thresholds' realized error is measured by the benchmarks'
-        max-error-vs-noskip discipline across the whole window."""
+        max-error-vs-noskip discipline across the whole window.
+
+        With ``per_slot=True`` the prep ADDITIONALLY builds per-frame flag
+        states (each window frame's own conservative flags + its own
+        prune): render(..., window_slot=i) then serves frame i under its
+        own pair lists — the union's ~10-20% pair inflation is avoided.
+        The union state remains the default for slot-less render calls."""
+        slots = []
+        if per_slot:
+            for inp in window_inputs:
+                set_flags(occ_fn(inp))
+                update_far_skip([inp])
+                if rcfg.occ_prune_trans > 0 or rcfg.occ_prune_contrib > 0:
+                    _, tm_h, tm_c, cb_h, cb_t = run_pipeline(inp, diag=True)
+                    kh, kt = prune_flags(tm_h, tm_c, cb_h, cb_t)
+                    occ_np = np.asarray(cache["occ"])
+                    set_flags(np.stack([occ_np[0] * kh, occ_np[1] * kt]),
+                              tag="pruned-slot")
+                slots.append({k: cache.get(k) for k in _SLOT_KEYS})
         occ = occ_fn(window_inputs[0])
         for inp in window_inputs[1:]:
             occ = jnp.maximum(occ, occ_fn(inp))
@@ -742,31 +788,226 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             set_flags(np.stack([occ_np[0] * keeps[0],
                                 occ_np[1] * keeps[1]]), tag="pruned")
         cache["pinned"] = True
+        cache["slots"] = slots
+
+    # ------------------- steady-state fast path ---------------------------
+    # Four programs per frame (see the class docstring): prep (merged XLA),
+    # the two pair kernels (one program), the two far kernels (one
+    # program), finish (composite + blend + scatter). The refresh frames
+    # keep the legacy multi-program path (it produces the prune
+    # diagnostics).
+    far_ss = max(int(rcfg.far_subsample), 1)
+    assert 16 % far_ss == 0
+    far = z_vals_c[-1]
+
+    def _sub_tiles(x):
+        """[T*256, C] tile-order -> in-tile (16/ss)^2 subgrid (every
+        ss-th pixel in each direction)."""
+        c = x.shape[-1]
+        v = x.reshape(T, 16, 16, c)[:, ::far_ss, ::far_ss, :]
+        return v.reshape(T * (16 // far_ss) ** 2, c)
+
+    def _up_tiles(x):
+        """Nearest-neighbor inverse of _sub_tiles. sh/ct are spatially
+        smooth at the far plane; the realized error is covered by the
+        benchmarks' max-error-vs-noskip discipline."""
+        c = x.shape[-1]
+        m = 16 // far_ss
+        v = x.reshape(T, m, 1, m, 1, c)
+        v = jnp.broadcast_to(v, (T, m, far_ss, m, far_ss, c))
+        return v.reshape(T * 256, c)
+
+    prep_cache = {}
+
+    def make_prep():
+        @jax.jit
+        def prep(params, z_shape, z_app, pose, pose_torso, signal,
+                 signal_torso, bc_img, tiles_sel):
+            from dfanerf_tpu.ops.fused_render import PE_PAD
+
+            pw_h = pack_field_weights(params["decoder"], dcfg, signal,
+                                      z_shape[0], z_app[0], "head")
+            pw_t = pack_field_weights(params["decoder"], dcfg,
+                                      signal_torso, z_shape[1], z_app[1],
+                                      "torso")
+            ro, rd = tiled_rays(pose)
+            ro_t, rd_t = tiled_rays(pose_torso)
+            bc_p = tile_order(bc_img.astype(jnp.float32) / 255.0)
+            sel = lambda x: x.reshape(T, R_T, 3)[tiles_sel].reshape(-1, 3)
+            ro_g, rd_g = sel(ro), sel(rd)
+            ro_t_g, rd_t_g = sel(ro_t), sel(rd_t)
+
+            def kern_ops(pw, o, d):
+                o_r = jnp.concatenate(
+                    [pe_replicate(o), jnp.zeros((R_T, PE_PAD))])
+                d_r = jnp.concatenate(
+                    [pe_replicate(d), jnp.zeros((R_T, PE_PAD))])
+                vr = jnp.concatenate(
+                    [view_bias(pw, d).astype(jnp.bfloat16),
+                     jnp.zeros((R_T, 256), jnp.bfloat16)])
+                return o_r, d_r, vr
+
+            oh, dh, vh = kern_ops(pw_h, ro_g, rd_g)
+            ot, dt, vt = kern_ops(pw_t, ro_t_g, rd_t_g)
+            # far-plane prep on the (subsampled) full frame
+            rd_s, rd_t_s = _sub_tiles(rd), _sub_tiles(rd_t)
+            ph = pe_replicate(_sub_tiles(ro) + rd_s * far)
+            pt = pe_replicate(_sub_tiles(ro_t) + rd_t_s * far)
+            vrtf = view_bias(pw_t, rd_t_s).astype(jnp.bfloat16)
+            return (pw_h, pw_t, oh, dh, vh, ot, dt, vt, rd_g, rd_t_g,
+                    ph, pt, vrtf, rd, rd_t, bc_p)
+
+        return prep
+
+    kern2_cache = {}
+
+    def make_kern2(with_far):
+        """One program holding ALL the frame's Pallas calls (the two pair
+        kernels + the two far kernels) — nothing else in it, per the
+        composed-program kernel-fault rule. with_far=False when the
+        catch-all is elided (far_skip)."""
+        @jax.jit
+        def kern2(pw_h, pw_t, oh, dh, vh, ot, dt, vt, ti_h, ji_h,
+                  ti_t, ji_t, ph, pt, vrtf):
+            buf_h = pair_field_eval_prepped(pw_h, "head", oh, dh, vh,
+                                            z_vals_c, ti_h, ji_h, act=act)
+            buf_t = pair_field_eval_prepped(pw_t, "torso", ot, dt, vt,
+                                            z_vals_c, ti_t, ji_t, act=act)
+            if not with_far:
+                return buf_h, buf_t, None
+            far_vals = fused_far_eval_split_prepped(pw_h, pw_t, ph, pt,
+                                                    vrtf, act=act)
+            return buf_h, buf_t, far_vals
+
+        return kern2
+
+    finish_cache = {}
+
+    def make_finish(with_far):
+        def body(rd_g, rd_t_g, buf_h, buf_t, occ_sub, rd, rd_t, bc_p,
+                 tiles_scatter, far_vals=None):
+            ah, ac, t_h, t_c = deferred_composite(
+                buf_h, buf_t, occ_sub, rd_g, rd_t_g, z_vals_c,
+                with_diagnostics=False)
+            n = T * R_T
+
+            def scatter(x, fill):
+                full = jnp.full((T + 1, R_T, x.shape[-1]), fill)
+                full = full.at[tiles_scatter].set(
+                    x.reshape(-1, R_T, x.shape[-1]))
+                return full[:T].reshape(n, x.shape[-1])
+
+            if with_far:
+                sh_s, ct_s = far_vals
+                head, com = bg_blend(
+                    _up_tiles(sh_s), _up_tiles(ct_s), rd, rd_t, bc_p,
+                    rcfg.last_dist,
+                    scatter(ah, 0.0), scatter(ac, 0.0),
+                    scatter(t_h, 1.0), scatter(t_c, 1.0),
+                )
+            else:
+                bc = bc_p.astype(jnp.float32)
+                head = scatter(ah, 0.0) + scatter(t_h, 1.0) * bc
+                com = scatter(ac, 0.0) + scatter(t_c, 1.0) * bc
+            return unpermute(head, com)
+
+        if with_far:
+            @jax.jit
+            def finish(rd_g, rd_t_g, buf_h, buf_t, occ_sub, far_vals, rd,
+                       rd_t, bc_p, tiles_scatter):
+                return body(rd_g, rd_t_g, buf_h, buf_t, occ_sub, rd, rd_t,
+                            bc_p, tiles_scatter, far_vals)
+        else:
+            @jax.jit
+            def finish(rd_g, rd_t_g, buf_h, buf_t, occ_sub, rd, rd_t,
+                       bc_p, tiles_scatter):
+                return body(rd_g, rd_t_g, buf_h, buf_t, occ_sub, rd, rd_t,
+                            bc_p, tiles_scatter)
+
+        return finish
+
+    def run_fast(params, z_shape, z_app, pose, pose_torso, signal,
+                 signal_torso, bc_img, st=None):
+        st = st if st is not None else cache
+        k_u = int(st["tiles_sel"].shape[0])
+        if k_u not in prep_cache:
+            prep_cache[k_u] = make_prep()
+        (pw_h, pw_t, oh, dh, vh, ot, dt, vt, rd_g, rd_t_g, ph, pt, vrtf,
+         rd, rd_t, bc_p) = prep_cache[k_u](
+            params, z_shape, z_app, pose, pose_torso, signal,
+            signal_torso, bc_img, st["tiles_sel"])
+        ti_h, ji_h = st["lists"][0]
+        ti_t, ji_t = st["lists"][1]
+        far_skip = bool(st.get("far_skip", False))
+        ck = (int(ti_h.shape[0]), int(ti_t.shape[0]), k_u, far_skip)
+        if ck not in kern2_cache:
+            kern2_cache[ck] = make_kern2(not far_skip)
+        buf_h, buf_t, far_vals = kern2_cache[ck](
+            pw_h, pw_t, oh, dh, vh, ot, dt, vt, ti_h, ji_h, ti_t, ji_t,
+            ph, pt, vrtf)
+        fk = (far_skip, k_u)
+        if fk not in finish_cache:
+            finish_cache[fk] = make_finish(not far_skip)
+        if far_skip:
+            return finish_cache[fk](rd_g, rd_t_g, buf_h, buf_t,
+                                    st["occ_sub"], rd, rd_t, bc_p,
+                                    st["tiles_scatter"])
+        return finish_cache[fk](rd_g, rd_t_g, buf_h, buf_t,
+                                st["occ_sub"], far_vals, rd, rd_t,
+                                bc_p, st["tiles_scatter"])
 
     def render(params, z_shape, z_app, pose, pose_torso, signal,
-               signal_torso, bc_img):
-        inputs = inputs_fn(params, z_shape, z_app, pose, pose_torso,
-                           signal, signal_torso, bc_img)
+               signal_torso, bc_img, window_slot=None):
+        if window_slot is not None and cache.get("slots"):
+            # pinned per-slot serving (refresh_union(..., per_slot=True)):
+            # each window frame renders under ITS OWN pruned flags — no
+            # union inflation of the pair lists
+            return run_fast(params, z_shape, z_app, pose, pose_torso,
+                            signal, signal_torso, bc_img,
+                            st=cache["slots"][window_slot
+                                              % len(cache["slots"])])
         refreshed = (cache["lists"] is None
                      or (not cache.get("pinned")
                          and cache["age"] >= max(rcfg.occ_refresh_every, 1)))
-        if refreshed:
-            set_flags(occ_fn(inputs))
+        if not refreshed:
+            cache["age"] += 1
+            return run_fast(params, z_shape, z_app, pose, pose_torso,
+                            signal, signal_torso, bc_img)
+        inputs = inputs_fn(params, z_shape, z_app, pose, pose_torso,
+                           signal, signal_torso, bc_img)
+        occ = occ_fn(inputs)
+        prune_on = rcfg.occ_prune_trans > 0 or rcfg.occ_prune_contrib > 0
+        carry = (prune_on and rcfg.occ_prune_carry > 0
+                 and cache.get("keeps") is not None
+                 and cache.get("keep_age", 0) < rcfg.occ_prune_carry)
+        if carry:
+            # cheap refresh: fresh conservative flags AND the carried
+            # keep-masks (see config.occ_prune_carry); the refresh frame
+            # itself renders on the fast path under the pruned lists
+            keep_h, keep_t = cache["keeps"]
+            occ_np = np.asarray(occ)
+            set_flags(np.stack([occ_np[0] * keep_h, occ_np[1] * keep_t]),
+                      tag="pruned-carry")
+            cache["keep_age"] += 1
             update_far_skip([inputs])
-        cache["age"] += 1
-        need_diag = refreshed and (rcfg.occ_prune_trans > 0
-                                   or rcfg.occ_prune_contrib > 0)
-        if need_diag:
-            # prune for the rest of the window from this frame's own
-            # composite (live-serving mode: no window lookahead)
+            cache["age"] = 1
+            return run_fast(params, z_shape, z_app, pose, pose_torso,
+                            signal, signal_torso, bc_img)
+        set_flags(occ)
+        update_far_skip([inputs])
+        if prune_on:
+            # full refresh: prune for the rest of the window from this
+            # frame's own composite (live-serving mode: no lookahead)
             imgs, tm_h, tm_c, cb_h, cb_t = run_pipeline(inputs, diag=True)
             keep_h, keep_t = prune_flags(tm_h, tm_c, cb_h, cb_t)
+            cache["keeps"] = (keep_h, keep_t)
+            cache["keep_age"] = 0
             occ_np = np.asarray(cache["occ"])
             pruned = np.stack([occ_np[0] * keep_h, occ_np[1] * keep_t])
             set_flags(pruned, tag="pruned")
-            cache["age"] = 1  # this frame consumed the refresh
         else:
             imgs = run_pipeline(inputs)
+        cache["age"] = 1  # this frame consumed the refresh
         return imgs
 
     render.inputs_fn = inputs_fn
