@@ -51,6 +51,7 @@ def main():
     occ_thresh = float(os.environ.get("DFANERF_OCC_THRESH", "2.0"))
     prune = float(os.environ.get("DFANERF_PRUNE", "6e-3"))
     fss = int(os.environ.get("DFANERF_FSS", "1"))
+    grid = int(os.environ.get("DFANERF_OCC_GRID", "48"))
     carry = int(os.environ.get("DFANERF_CARRY", "0"))
     dec = DecoderConfig(density_activation="softplus")
     base = dict(n_samples=64, use_fused_kernel=True,
@@ -58,7 +59,7 @@ def main():
     cfg1 = ExperimentConfig(
         decoder=dec,
         render=RenderConfig(**base, ert_eps=1e-4, spatial_tiles=True,
-                            occ_sigma_thresh=occ_thresh, occ_grid_res=48,
+                            occ_sigma_thresh=occ_thresh, occ_grid_res=grid,
                             occ_refresh_every=8, occ_pair_compaction=True,
                             occ_prune_contrib=prune, far_subsample=fss,
                             occ_prune_carry=carry),
@@ -137,7 +138,7 @@ def main():
         pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
         return conservative_occupancy(
             pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c, occ_thresh,
-            grid_res=48, act=act)
+            grid_res=grid, act=act)
 
     @jax.jit
     def gather_fn(inputs, tiles_sel):

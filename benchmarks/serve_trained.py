@@ -242,7 +242,7 @@ def run(n_train=12000, occ_thresh=2.0, polish_steps=2000,
                             occ_sigma_thresh=occ_thresh, occ_grid_res=48,
                             occ_refresh_every=8, occ_pair_compaction=True,
                             occ_prune_contrib=prune_contrib,
-                            far_skip_tol=far_skip_tol, far_subsample=2,
+                            far_skip_tol=far_skip_tol, far_subsample=4,
                             occ_prune_carry=3),
         train=cfgP.train,
     )

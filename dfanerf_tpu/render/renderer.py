@@ -1010,9 +1010,27 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         cache["age"] = 1  # this frame consumed the refresh
         return imgs
 
+    def fast_parts(st):
+        """Diagnostics hook: the three compiled fast-path programs for a
+        given flag state (prep, kern2, finish) so benchmarks can time
+        each program separately."""
+        k_u = int(st["tiles_sel"].shape[0])
+        if k_u not in prep_cache:
+            prep_cache[k_u] = make_prep()
+        ti_h, ti_t = st["lists"][0][0], st["lists"][1][0]
+        far_skip = bool(st.get("far_skip", False))
+        ck = (int(ti_h.shape[0]), int(ti_t.shape[0]), k_u, far_skip)
+        if ck not in kern2_cache:
+            kern2_cache[ck] = make_kern2(not far_skip)
+        fk = (far_skip, k_u)
+        if fk not in finish_cache:
+            finish_cache[fk] = make_finish(not far_skip)
+        return prep_cache[k_u], kern2_cache[ck], finish_cache[fk]
+
     render.inputs_fn = inputs_fn
     render.refresh_union = refresh_union
     render.cache = cache
+    render.fast_parts = fast_parts
     return render
 
 
