@@ -42,6 +42,45 @@ def sincos_posenc(p: jnp.ndarray, n_freqs: int, downscale: float = 1.0) -> jnp.n
     return enc.reshape(*p.shape[:-1], 2 * n_freqs * p.shape[-1])
 
 
+def gauss_B_matrices(
+    gauss_dim_pos: int = 10, gauss_dim_view: int = 4, gauss_std: float = 4.0
+):
+    """The reference's fixed Gaussian projection matrices.
+
+    decoder.py:189-199 seeds the legacy numpy global RNG with 42 and draws
+    B_pos = std * randn(1, 3*gauss_dim_pos, 3) then B_view = std *
+    randn(1, 3*gauss_dim_view, 3) IN THAT ORDER — the matrices are
+    deterministic constants of the config, not trainable parameters (torch
+    buffers created at construction). Returns (B_pos [3*gp, 3],
+    B_view [3*gv, 3]) fp32.
+    """
+    import numpy as np
+
+    rs = np.random.RandomState(42)
+    b_pos = (gauss_std * rs.randn(1, gauss_dim_pos * 3, 3)).astype(np.float32)
+    b_view = (gauss_std * rs.randn(1, gauss_dim_view * 3, 3)).astype(np.float32)
+    return jnp.asarray(b_pos[0]), jnp.asarray(b_view[0])
+
+
+def gauss_posenc(p: jnp.ndarray, B: jnp.ndarray, downscale: float = 1.0) -> jnp.ndarray:
+    """Gaussian (random-Fourier-feature) positional encoding.
+
+    The decoder's ``positional_encoding='gauss'`` mode (decoder.py:257-269
+    ``transform_points``): proj = B @ (pi * p / downscale) computed per
+    point, output = [sin(proj), cos(proj)] concatenated on the last axis.
+
+    Args:
+        p: [..., 3] points (or view directions).
+        B: [m, 3] projection matrix (``gauss_B_matrices``).
+        downscale: ``downscale_p_by``.
+
+    Returns:
+        [..., 2 * m] encoding.
+    """
+    proj = (p / downscale * math.pi) @ B.T
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
 def nerf_embed_dim(multires: int, input_dims: int = 3, include_input: bool = True) -> int:
     """Output dimension of ``nerf_embedder``."""
     return input_dims * ((1 if include_input else 0) + 2 * multires)

@@ -27,7 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from dfanerf_tpu.core.posenc import sincos_posenc
+from dfanerf_tpu.core.posenc import gauss_B_matrices, gauss_posenc, sincos_posenc
 from dfanerf_tpu.models.layers import init_linear, linear
 
 Params = Dict[str, Any]
@@ -55,6 +55,14 @@ class DecoderConfig:
     use_expression: bool = False
     dim_w2lfeature: int = 512
     use_wav2lip: bool = False
+    # decoder.py:189-199 'gauss' mode: fixed seed-42 random-Fourier
+    # projections replace the octave sin/cos encoding for points and
+    # viewdirs (off in every shipped config; supported by the XLA decoder
+    # path only — the fused serving kernels assume 'normal')
+    positional_encoding: str = "normal"  # 'normal' | 'gauss'
+    gauss_dim_pos: int = 10
+    gauss_dim_view: int = 4
+    gauss_std: float = 4.0
     density_activation: str = "relu"  # sigma activation applied by the
     # RENDER paths (fields.py, the fused kernels, occupancy): "relu" is
     # the reference's semantics; "softplus" removes the dead-ReLU
@@ -65,10 +73,14 @@ class DecoderConfig:
 
     @property
     def dim_embed(self) -> int:
+        if self.positional_encoding == "gauss":
+            return 3 * self.gauss_dim_pos * 2
         return 3 * self.n_freq_posenc * 2
 
     @property
     def dim_embed_view(self) -> int:
+        if self.positional_encoding == "gauss":
+            return 3 * self.gauss_dim_view * 2
         return 3 * self.n_freq_posenc_views * 2
 
     @property
@@ -253,9 +265,15 @@ def apply_decoder(
         z_shape = z_shape.astype(compute_dtype)
         z_app = z_app.astype(compute_dtype)
 
-    p = sincos_posenc(
-        p_in.astype(jnp.float32), cfg.n_freq_posenc, cfg.downscale_p_by
-    )  # [N, 60]
+    if cfg.positional_encoding == "gauss":
+        b_pos, b_view = gauss_B_matrices(
+            cfg.gauss_dim_pos, cfg.gauss_dim_view, cfg.gauss_std
+        )
+        p = gauss_posenc(p_in.astype(jnp.float32), b_pos, cfg.downscale_p_by)
+    else:
+        p = sincos_posenc(
+            p_in.astype(jnp.float32), cfg.n_freq_posenc, cfg.downscale_p_by
+        )  # [N, 60]
     if compute_dtype is not None:
         p = p.astype(compute_dtype)
 
@@ -303,7 +321,10 @@ def apply_decoder(
     if cfg.use_viewdirs and ray_d is not None:
         ray_d = ray_d.astype(jnp.float32)
         ray_d = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
-        rd = sincos_posenc(ray_d, cfg.n_freq_posenc_views, cfg.downscale_p_by)
+        if cfg.positional_encoding == "gauss":
+            rd = gauss_posenc(ray_d, b_view, cfg.downscale_p_by)
+        else:
+            rd = sincos_posenc(ray_d, cfg.n_freq_posenc_views, cfg.downscale_p_by)
         if compute_dtype is not None:
             rd = rd.astype(compute_dtype)
         net = net + linear(params["fc_view"], rd)

@@ -85,6 +85,12 @@ def pack_field_weights(
     f32 = jnp.float32
     sig = signal.astype(f32)
 
+    # the fused kernels evaluate the octave PE in-register (slot-replicated
+    # sin trick); the gauss mode runs through apply_decoder / the XLA
+    # renderer only
+    assert cfg.positional_encoding == "normal", (
+        "fused serving kernels support positional_encoding='normal' only"
+    )
     if branch == "head":
         fc_in = params["fc_in"]
         fc_skip = params["fc_p_skips"][0]

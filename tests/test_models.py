@@ -247,3 +247,108 @@ class TestReferenceParity:
             ref = net(torch.tensor(x)).numpy()
         ours = np.asarray(apply_audio_attnet(params, jnp.asarray(x), 96))
         np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+@needs_reference
+class TestGaussPE:
+    """positional_encoding='gauss' parity (decoder.py:189-199,257-269).
+
+    The reference constructor calls .cuda() on the B matrices, so the
+    source is exec'd with those calls stripped (the test_zoo.py pattern)
+    to run on CPU torch.
+    """
+
+    def _torch_gauss_decoder(self, **kw):
+        import importlib.util
+        import os as _os
+        import types
+
+        add_reference_to_path()
+        import torch
+
+        from conftest import REFERENCE_ROOT
+
+        path = _os.path.join(REFERENCE_ROOT, "NeRFs", "DFANeRF", "decoder.py")
+        src = open(path).read().replace(".cuda()", "")
+        mod = types.ModuleType("ref_decoder_nocuda")
+        exec(compile(src, path, "exec"), mod.__dict__)
+        torch.manual_seed(0)
+        dec = mod.Decoder(
+            z_dim=CFG.z_dim,
+            hidden_size=CFG.hidden_size,
+            dim_signal=CFG.dim_signal,
+            use_deformation_field=True,
+            use_expression=False,
+            positional_encoding="gauss",
+            **kw,
+        )
+        return torch, dec
+
+    def test_gauss_b_matrices_match_reference(self):
+        """Our seed-42 construction reproduces the reference's B buffers."""
+        from dfanerf_tpu.core.posenc import gauss_B_matrices
+
+        torch, dec = self._torch_gauss_decoder()
+        b_pos, b_view = gauss_B_matrices(10, 4, 4.0)
+        np.testing.assert_allclose(
+            np.asarray(b_pos), dec.B_pos.numpy()[0], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(b_view), dec.B_view.numpy()[0], atol=1e-6
+        )
+
+    @pytest.mark.parametrize("branch,dim_sig", [
+        ("head", 96), ("torso", 42),
+    ])
+    def test_gauss_decoder_parity(self, branch, dim_sig):
+        torch, dec = self._torch_gauss_decoder()
+        cfg = DecoderConfig(positional_encoding="gauss")
+        params = decoder_from_torch(dec.state_dict())
+        N = 128
+        rng = np.random.RandomState(5)
+        p = rng.randn(1, N, 3).astype(np.float32)
+        rd = rng.randn(1, N, 3).astype(np.float32)
+        z_s = rng.randn(1, cfg.z_dim).astype(np.float32)
+        z_a = rng.randn(1, cfg.z_dim).astype(np.float32)
+        sig = rng.randn(1, dim_sig).astype(np.float32)
+        sig_t = [torch.tensor(sig), None] if branch == "head" else torch.tensor(sig)
+        with torch.no_grad():
+            ref_feat, ref_sigma = dec(
+                torch.tensor(p), torch.tensor(rd), torch.tensor(z_s),
+                torch.tensor(z_a), sig_t, branch,
+            )
+        feat, sigma = apply_decoder(
+            params, cfg, jnp.asarray(p[0]), jnp.asarray(rd[0]),
+            jnp.asarray(z_s[0]), jnp.asarray(z_a[0]), jnp.asarray(sig[0]),
+            branch,
+        )
+        np.testing.assert_allclose(np.asarray(feat), ref_feat.numpy()[0], atol=3e-5)
+        np.testing.assert_allclose(np.asarray(sigma), ref_sigma.numpy()[0], atol=3e-4)
+
+    def test_gauss_nondefault_dims(self):
+        """gauss_dim_pos/view != defaults change every embed-fed layer."""
+        torch, dec = self._torch_gauss_decoder(gauss_dim_pos=6, gauss_dim_view=2,
+                                               gauss_std=2.0)
+        cfg = DecoderConfig(positional_encoding="gauss", gauss_dim_pos=6,
+                            gauss_dim_view=2, gauss_std=2.0)
+        assert cfg.dim_embed == 36 and cfg.dim_embed_view == 12
+        params = decoder_from_torch(dec.state_dict())
+        N = 64
+        rng = np.random.RandomState(6)
+        p = rng.randn(1, N, 3).astype(np.float32)
+        rd = rng.randn(1, N, 3).astype(np.float32)
+        z_s = rng.randn(1, cfg.z_dim).astype(np.float32)
+        z_a = rng.randn(1, cfg.z_dim).astype(np.float32)
+        sig = rng.randn(1, cfg.dim_signal).astype(np.float32)
+        with torch.no_grad():
+            ref_feat, ref_sigma = dec(
+                torch.tensor(p), torch.tensor(rd), torch.tensor(z_s),
+                torch.tensor(z_a), [torch.tensor(sig), None], "head",
+            )
+        feat, sigma = apply_decoder(
+            params, cfg, jnp.asarray(p[0]), jnp.asarray(rd[0]),
+            jnp.asarray(z_s[0]), jnp.asarray(z_a[0]), jnp.asarray(sig[0]),
+            "head",
+        )
+        np.testing.assert_allclose(np.asarray(feat), ref_feat.numpy()[0], atol=3e-5)
+        np.testing.assert_allclose(np.asarray(sigma), ref_sigma.numpy()[0], atol=3e-4)
