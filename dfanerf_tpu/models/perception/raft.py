@@ -127,10 +127,10 @@ def build_corr_pyramid(fmap1, fmap2):
     return pyramid
 
 
-def lookup_corr(pyramid, coords):
+def lookup_corr(pyramid, coords, radius: int = CORR_RADIUS):
     """coords [N, H, W, 2] -> correlation features [N, H, W, LEVELS*(2r+1)^2]."""
     n, h, w, _ = coords.shape
-    r = CORR_RADIUS
+    r = radius
     d = jnp.arange(-r, r + 1, dtype=jnp.float32)
     # delta stacked (dy, dx) then used as (x=..1, y=..0)? reference builds
     # meshgrid(dy, dx) stacked last-dim (dy, dx) and adds to (x, y) coords /
@@ -317,6 +317,295 @@ def raft_small_from_torch(sd: Mapping[str, Any]) -> Params:
             "flow_head": {
                 "conv1": conv_from_torch(sd, "update_block.flow_head.conv1"),
                 "conv2": conv_from_torch(sd, "update_block.flow_head.conv2"),
+            },
+        },
+    }
+
+
+# --- RAFT "basic" variant ---------------------------------------------------------
+# The reference's small=False path (core/raft.py:33-38): BasicEncoder
+# (extractor.py:116-194, ResidualBlock towers, fnet instance-norm / cnet
+# batch-norm), BasicUpdateBlock (update.py:92-117: BasicMotionEncoder +
+# SepConvGRU + .25-scaled 64*9 mask head), convex flow upsampling
+# (raft.py:72-86), corr radius 4. Dead in the shipped small-model
+# inference path but a declared constructor capability; ported for parity
+# with this repo's standard of covering dead reference variants.
+
+
+BASIC_HDIM, BASIC_CDIM = 128, 128
+BASIC_RADIUS = 4
+
+
+def _residual(p, x, stride, norm):
+    """extractor.py ResidualBlock: two 3x3 convs (stride on conv1) +
+    optional 1x1 downsample; norm in {'instance', 'batch', 'none'}
+    (instance = torch affine-free default; batch = eval-mode running
+    stats)."""
+    from dfanerf_tpu.models.perception.common import batchnorm
+
+    def n(y, key):
+        if norm == "instance":
+            return _instance_norm(y)
+        if norm == "batch":
+            return batchnorm(p[key], y)
+        return y
+
+    y = jax.nn.relu(n(conv2d(p["conv1"], x, stride=stride, padding=1), "norm1"))
+    y = jax.nn.relu(n(conv2d(p["conv2"], y, padding=1), "norm2"))
+    if "downsample" in p:
+        x = n(conv2d(p["downsample"], x, stride=stride), "norm3")
+    return jax.nn.relu(x + y)
+
+
+def basic_encoder(p, x, norm):
+    """extractor.py:116-194 BasicEncoder: [N, H, W, 3] -> [N, H/8, W/8, out].
+    Channel ladder 64 -> 64/96/128 residual towers -> 1x1 out conv."""
+    from dfanerf_tpu.models.perception.common import batchnorm
+
+    def n(y):
+        if norm == "instance":
+            return _instance_norm(y)
+        if norm == "batch":
+            return batchnorm(p["norm1"], y)
+        return y
+
+    x = jax.nn.relu(n(conv2d(p["conv1"], x, stride=2, padding=3)))
+    for li, stride in (("layer1", 1), ("layer2", 2), ("layer3", 2)):
+        x = _residual(p[li][0], x, stride, norm)
+        x = _residual(p[li][1], x, 1, norm)
+    return conv2d(p["conv2"], x)
+
+
+def basic_motion_encoder(p, flow, corr):
+    """update.py:81-98 BasicMotionEncoder (returns 126+2 = 128 channels)."""
+    cor = jax.nn.relu(conv2d(p["convc1"], corr))
+    cor = jax.nn.relu(conv2d(p["convc2"], cor, padding=1))
+    flo = jax.nn.relu(conv2d(p["convf1"], flow, padding=3))
+    flo = jax.nn.relu(conv2d(p["convf2"], flo, padding=1))
+    out = jax.nn.relu(conv2d(p["conv"], jnp.concatenate([cor, flo], -1), padding=1))
+    return jnp.concatenate([out, flow], axis=-1)
+
+
+def sep_conv_gru(p, h, x):
+    """update.py:34-62 SepConvGRU: horizontal (1,5) then vertical (5,1)
+    GRU passes."""
+    for sfx, pad in (("1", (0, 2)), ("2", (2, 0))):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = jax.nn.sigmoid(conv2d(p["convz" + sfx], hx, padding=pad))
+        r = jax.nn.sigmoid(conv2d(p["convr" + sfx], hx, padding=pad))
+        q = jnp.tanh(
+            conv2d(p["convq" + sfx], jnp.concatenate([r * h, x], -1), padding=pad)
+        )
+        h = (1 - z) * h + z * q
+    return h
+
+
+def _mask_head(p, net):
+    """update.py:111-114: Sequential(conv 3x3 128->256, ReLU, conv 1x1
+    256->64*9); the caller applies the .25 gradient-balance scale."""
+    return conv2d(p["conv2"], jax.nn.relu(conv2d(p["conv1"], net, padding=1)))
+
+
+def upsample_flow_convex(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """raft.py:72-86 convex-combination upsampling: flow [N, H, W, 2] at
+    1/8 res + mask [N, H, W, 64*9] -> [N, 8H, 8W, 2]. Channel order of the
+    mask matches torch's view(N, 1, 9, 8, 8, H, W): c = k*64 + i*8 + j for
+    window position k (row-major 3x3) and subpixel (i, j)."""
+    n, h, w, _ = flow.shape
+    m = jax.nn.softmax(mask.reshape(n, h, w, 9, 8, 8), axis=3)
+    fp = jnp.pad(8.0 * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    neigh = jnp.stack(
+        [fp[:, dy : dy + h, dx : dx + w, :] for dy in range(3) for dx in range(3)],
+        axis=3,
+    )  # [N, H, W, 9, 2] — unfold's row-major window order
+    up = jnp.einsum("nhwkab,nhwkc->nhwabc", m, neigh)  # [N, H, W, 8, 8, 2]
+    return up.transpose(0, 1, 3, 2, 4, 5).reshape(n, 8 * h, 8 * w, 2)
+
+
+def lookup_corr_alternate(fmap1, fmap2, coords, num_levels: int = CORR_LEVELS,
+                          radius: int = BASIC_RADIUS):
+    """corr.py:54-95 AlternateCorrBlock: memory-efficient correlation —
+    fmap2 is avg-pooled per level and bilinearly sampled in the (2r+1)^2
+    window around coords/2^i, then dotted with the FULL-RES fmap1
+    (alt_cuda_corr semantics). Because the dot product is linear in fmap2,
+    pooling/sampling commute with it and this equals the CorrBlock pooled-
+    volume lookup — asserted in tests against build_corr_pyramid +
+    lookup_corr. Avoids the [N*(HW)^2] volume entirely."""
+    n, h, w, d = fmap1.shape
+    off = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    dyx = jnp.stack(jnp.meshgrid(off, off, indexing="ij"), -1).reshape(-1, 2)
+    k = dyx.shape[0]
+    f1 = fmap1.reshape(n, h * w, d)
+    f2 = fmap2
+    out = []
+    for i in range(num_levels):
+        centroid = coords.reshape(n, h * w, 1, 2) / (2.0 ** i)
+        pts = (centroid + dyx[None, None]).reshape(n, h * w * k, 2)
+        sampled = bilinear_sampler(f2, pts).reshape(n, h * w, k, d)
+        corr = jnp.einsum("npd,npkd->npk", f1, sampled) / jnp.sqrt(jnp.float32(d))
+        out.append(corr.reshape(n, h, w, k))
+        f2 = _avg_pool2(f2)
+    return jnp.concatenate(out, axis=-1)
+
+
+def apply_raft_basic(
+    params: Params, image1: jnp.ndarray, image2: jnp.ndarray, iters: int = 12,
+    alternate_corr: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """RAFT basic forward (core/raft.py:86-140, small=False): image1/2
+    [N, H, W, 3] in 0..255, H/W multiples of 8 -> (flow [N, H, W, 2],
+    final FlowHead feature [N, H/8, W/8, 256]). The last iteration's
+    convex-upsampled flow is returned (the reference overwrites flow_up
+    per iteration and returns the last)."""
+    image1 = 2.0 * (image1 / 255.0) - 1.0
+    image2 = 2.0 * (image2 / 255.0) - 1.0
+    fmap1 = basic_encoder(params["fnet"], image1, "instance")
+    fmap2 = basic_encoder(params["fnet"], image2, "instance")
+    pyramid = None if alternate_corr else build_corr_pyramid(fmap1, fmap2)
+
+    cnet = basic_encoder(params["cnet"], image1, "batch")
+    net = jnp.tanh(cnet[..., :BASIC_HDIM])
+    inp = jax.nn.relu(cnet[..., BASIC_HDIM:])
+
+    n, h8, w8, _ = fmap1.shape
+    coords0 = coords_grid(n, h8, w8)
+
+    def body(carry, _):
+        net, coords1 = carry
+        if alternate_corr:
+            corr = lookup_corr_alternate(fmap1, fmap2, coords1)
+        else:
+            corr = lookup_corr(pyramid, coords1, radius=BASIC_RADIUS)
+        flow = coords1 - coords0
+        motion = basic_motion_encoder(params["update"]["encoder"], flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = sep_conv_gru(params["update"]["gru"], net, x)
+        delta, feat = flow_head(params["update"]["flow_head"], net)
+        mask = 0.25 * _mask_head(params["update"]["mask"], net)
+        return (net, coords1 + delta), (feat, mask)
+
+    (net, coords1), (feats, masks) = jax.lax.scan(
+        body, (net, coords0), None, length=iters
+    )
+    flow_up = upsample_flow_convex(coords1 - coords0, masks[-1])
+    return flow_up, feats[-1]
+
+
+def init_raft_basic(key: jax.Array) -> Params:
+    from dfanerf_tpu.models.perception.common import init_bn
+
+    ks = jax.random.split(key, 120)
+    ki = iter(ks)
+
+    def res(cin, planes, stride, norm):
+        p = {
+            "conv1": _init_conv_t(next(ki), cin, planes, 3),
+            "conv2": _init_conv_t(next(ki), planes, planes, 3),
+        }
+        if norm == "batch":
+            p["norm1"], p["norm2"] = init_bn(planes), init_bn(planes)
+        if stride != 1:
+            p["downsample"] = _init_conv_t(next(ki), cin, planes, 1)
+            if norm == "batch":
+                p["norm3"] = init_bn(planes)
+        return p
+
+    def encoder(out_dim, norm):
+        p = {
+            "conv1": _init_conv_t(next(ki), 3, 64, 7),
+            "layer1": [res(64, 64, 1, norm), res(64, 64, 1, norm)],
+            "layer2": [res(64, 96, 2, norm), res(96, 96, 1, norm)],
+            "layer3": [res(96, 128, 2, norm), res(128, 128, 1, norm)],
+            "conv2": _init_conv_t(next(ki), 128, out_dim, 1),
+        }
+        if norm == "batch":
+            p["norm1"] = init_bn(64)
+        return p
+
+    cor_planes = CORR_LEVELS * (2 * BASIC_RADIUS + 1) ** 2
+    gin = BASIC_HDIM + 128 + BASIC_HDIM  # h + (inp 128 + motion 128)
+    return {
+        "fnet": encoder(256, "instance"),
+        "cnet": encoder(BASIC_HDIM + BASIC_CDIM, "batch"),
+        "update": {
+            "encoder": {
+                "convc1": _init_conv_t(next(ki), cor_planes, 256, 1),
+                "convc2": _init_conv_t(next(ki), 256, 192, 3),
+                "convf1": _init_conv_t(next(ki), 2, 128, 7),
+                "convf2": _init_conv_t(next(ki), 128, 64, 3),
+                "conv": _init_conv_t(next(ki), 256, 126, 3),
+            },
+            "gru": {
+                f"conv{g}{i}": _init_conv_t(
+                    next(ki), gin, BASIC_HDIM, (1, 5) if i == "1" else (5, 1)
+                )
+                for i in ("1", "2")
+                for g in ("z", "r", "q")
+            },
+            "flow_head": {
+                "conv1": _init_conv_t(next(ki), BASIC_HDIM, 256, 3),
+                "conv2": _init_conv_t(next(ki), 256, 2, 3),
+            },
+            "mask": {
+                "conv1": _init_conv_t(next(ki), 128, 256, 3),
+                "conv2": _init_conv_t(next(ki), 256, 64 * 9, 1),
+            },
+        },
+    }
+
+
+def raft_basic_from_torch(sd: Mapping[str, Any]) -> Params:
+    """Convert a RAFT small=False state_dict (raft-things.pth layout)."""
+    from dfanerf_tpu.models.perception.common import bn_from_torch
+
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+
+    def res(name, norm):
+        p = {
+            "conv1": conv_from_torch(sd, f"{name}.conv1"),
+            "conv2": conv_from_torch(sd, f"{name}.conv2"),
+        }
+        if norm == "batch":
+            p["norm1"] = bn_from_torch(sd, f"{name}.norm1")
+            p["norm2"] = bn_from_torch(sd, f"{name}.norm2")
+        if f"{name}.downsample.0.weight" in sd:
+            p["downsample"] = conv_from_torch(sd, f"{name}.downsample.0")
+            if norm == "batch":
+                p["norm3"] = bn_from_torch(sd, f"{name}.downsample.1")
+        return p
+
+    def enc(prefix, norm):
+        p = {
+            "conv1": conv_from_torch(sd, f"{prefix}.conv1"),
+            "layer1": [res(f"{prefix}.layer1.{i}", norm) for i in range(2)],
+            "layer2": [res(f"{prefix}.layer2.{i}", norm) for i in range(2)],
+            "layer3": [res(f"{prefix}.layer3.{i}", norm) for i in range(2)],
+            "conv2": conv_from_torch(sd, f"{prefix}.conv2"),
+        }
+        if norm == "batch":
+            p["norm1"] = bn_from_torch(sd, f"{prefix}.norm1")
+        return p
+
+    return {
+        "fnet": enc("fnet", "instance"),
+        "cnet": enc("cnet", "batch"),
+        "update": {
+            "encoder": {
+                k: conv_from_torch(sd, f"update_block.encoder.{k}")
+                for k in ("convc1", "convc2", "convf1", "convf2", "conv")
+            },
+            "gru": {
+                k: conv_from_torch(sd, f"update_block.gru.{k}")
+                for k in ("convz1", "convr1", "convq1",
+                          "convz2", "convr2", "convq2")
+            },
+            "flow_head": {
+                "conv1": conv_from_torch(sd, "update_block.flow_head.conv1"),
+                "conv2": conv_from_torch(sd, "update_block.flow_head.conv2"),
+            },
+            "mask": {
+                "conv1": conv_from_torch(sd, "update_block.mask.0"),
+                "conv2": conv_from_torch(sd, "update_block.mask.2"),
             },
         },
     }
