@@ -125,6 +125,16 @@ class RenderConfig:
     # render every (occ_prune_carry + 1)-th refresh. 0 = re-derive at
     # every refresh (no carry). The staleness error is covered by the
     # benchmarks' max-error-vs-noskip discipline across carried windows.
+    occ_async_refresh: bool = False  # live-mode double-buffered flag
+    # refresh: the stream keeps serving under the CURRENT flag state while
+    # a background thread computes the next one (conservative occupancy +
+    # far_skip measurement + prune diagnostics + fast-path compiles), then
+    # swaps it in atomically. Takes the refresh entirely off the frame
+    # critical path: a refresh (or a first-seen pair-count compile) slows
+    # the swap, never the stream. Staleness grows by the refresh latency
+    # (~1 extra window) and is covered by the benchmarks'
+    # max-error-vs-noskip discipline. Live mode only — pinned
+    # refresh_union windows never refresh.
     occ_union_window: bool = True  # conservative flags for a refresh
     # window: at each refresh the flags are the UNION over the window's
     # (pose, signal) pairs, so stale-flag error within the window is

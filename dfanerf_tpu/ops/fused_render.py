@@ -45,6 +45,15 @@ S_SLAB = int(os.environ.get("DFANERF_S_SLAB", "8"))
 PE_PAD = 64
 
 
+def _interp(flag):
+    """Resolve a pallas interpret flag: explicit wins; otherwise the
+    DFANERF_PALLAS_INTERPRET env var (checked at call time so CPU tests
+    can exercise the serving renderer paths without TPU hardware)."""
+    if flag is None:
+        return bool(int(os.environ.get("DFANERF_PALLAS_INTERPRET", "0")))
+    return flag
+
+
 # ---------------------------------------------------------------------------
 # Packed-weights forward in plain XLA — the semantics reference for the
 # kernel (tested against apply_decoder) and the CPU fallback.
@@ -599,7 +608,7 @@ def fused_render_rays(
     z_vals: jnp.ndarray,
     bc_rgb: jnp.ndarray,
     last_dist: float = 1e10,
-    interpret: bool = False,
+    interpret: bool = None,
     ert_eps: float = 0.0,
     occupancy: "jnp.ndarray" = None,
     bg_epilogue: bool = False,
@@ -767,7 +776,7 @@ def fused_render_rays(
             jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
         ),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(occupancy.astype(jnp.int32), dists_h, dists_t, z_rows,
       o_h, d_h, o_t, d_t, vr_h, vr_t, aux, freq_row, phase_row, *weight_ops)
 
@@ -857,7 +866,7 @@ def fused_sigma_head(
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,
     z_vals: jnp.ndarray,
-    interpret: bool = False,
+    interpret: bool = None,
     occupancy: "jnp.ndarray" = None,
     act: str = "relu",
 ) -> jnp.ndarray:
@@ -925,7 +934,7 @@ def fused_sigma_head(
         functools.partial(_sigma_kernel, act=act),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_slabs, n_pad, S_SLAB), jnp.float32),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(occupancy.astype(jnp.int32), z_rows, o_r, d_r,
       freqs[None].astype(jnp.float32), phase[None].astype(jnp.float32),
       *weight_ops)
@@ -1047,7 +1056,7 @@ def pair_field_eval(
     z_vals: jnp.ndarray,
     t_idx: jnp.ndarray,
     j_idx: jnp.ndarray,
-    interpret: bool = False,
+    interpret: bool = None,
     act: str = "relu",
 ) -> jnp.ndarray:
     """Evaluate one packed field on K occupied (tile, slab) pairs.
@@ -1073,7 +1082,7 @@ def pair_field_eval(
     vr = view_bias(pw, rays_d).astype(jnp.bfloat16)
     vr = jnp.concatenate([vr, jnp.zeros((R_T, 256), vr.dtype)])
     return pair_field_eval_prepped(pw, branch, o_r, d_r, vr, z_vals,
-                                   t_idx, j_idx, interpret=interpret,
+                                   t_idx, j_idx, interpret=_interp(interpret),
                                    act=act)
 
 
@@ -1086,7 +1095,7 @@ def pair_field_eval_prepped(
     z_vals: jnp.ndarray,
     t_idx: jnp.ndarray,
     j_idx: jnp.ndarray,
-    interpret: bool = False,
+    interpret: bool = None,
     act: str = "relu",
 ) -> jnp.ndarray:
     """pair_field_eval given pre-prepped operands (the serving fast path:
@@ -1163,7 +1172,7 @@ def pair_field_eval_prepped(
                 jnp.float32 if c == 0 else jnp.bfloat16,
             ) for c in range(4)
         ),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(t_idx.astype(jnp.int32), j_idx.astype(jnp.int32), z_rows,
       o_r, d_r, vr, freqs, phase, *weight_ops)
 
@@ -1225,7 +1234,7 @@ def fused_far_eval(
     rays_o_t: jnp.ndarray,
     rays_d_t: jnp.ndarray,
     far,
-    interpret: bool = False,
+    interpret: bool = None,
     act: str = "relu",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Kernel-evaluated far-plane quantities for _bg_epilogue:
@@ -1287,7 +1296,7 @@ def fused_far_eval(
         out_shape=tuple(
             jax.ShapeDtypeStruct((n_pad, 8), jnp.float32) for _ in range(4)
         ),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(ph, pt, vr_t, freqs[None].astype(jnp.float32),
       phase[None].astype(jnp.float32), *weight_ops)
     sig_h = outs[0][:n, 0:1]
@@ -1361,7 +1370,7 @@ def fused_far_eval_split(
     rays_o_t: jnp.ndarray,
     rays_d_t: jnp.ndarray,
     far,
-    interpret: bool = False,
+    interpret: bool = None,
     act: str = "relu",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """fused_far_eval as TWO single-field programs (identical math): the
@@ -1372,7 +1381,7 @@ def fused_far_eval_split(
     pt = pe_replicate(rays_o_t + rays_d_t * far)
     vr_t = view_bias(pw_t, rays_d_t).astype(jnp.bfloat16)
     return fused_far_eval_split_prepped(pw_h, pw_t, ph, pt, vr_t,
-                                        interpret=interpret, act=act)
+                                        interpret=_interp(interpret), act=act)
 
 
 def fused_far_eval_split_prepped(
@@ -1381,7 +1390,7 @@ def fused_far_eval_split_prepped(
     ph: jnp.ndarray,
     pt: jnp.ndarray,
     vr_t: jnp.ndarray,
-    interpret: bool = False,
+    interpret: bool = None,
     act: str = "relu",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """fused_far_eval_split given pre-replicated far-plane points
@@ -1423,7 +1432,7 @@ def fused_far_eval_split_prepped(
         + [_full(op.shape) for op in head_ops],
         out_specs=row_spec(8),
         out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(ph, freqs, phase, *head_ops)
 
     tw = pw_t
@@ -1444,7 +1453,7 @@ def fused_far_eval_split_prepped(
         out_shape=tuple(
             jax.ShapeDtypeStruct((n_pad, 8), jnp.float32) for _ in range(3)
         ),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(pt, vr_t, freqs, phase, *torso_ops)
     rgb_t = jnp.stack([o[:n, 0] for o in outs], axis=-1)
     return sig[:n, 0:1], rgb_t
@@ -1691,7 +1700,7 @@ def fused_render_head(
     z_vals: jnp.ndarray,
     bc_rgb: jnp.ndarray,
     last_dist: float = 1e10,
-    interpret: bool = False,
+    interpret: bool = None,
     ert_eps: float = 0.0,
     occupancy: "jnp.ndarray" = None,
     act: str = "relu",
@@ -1796,8 +1805,270 @@ def fused_render_head(
                           act=act),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(occupancy.astype(jnp.int32), dists, z_blocks,
       o_r, d_r, vr, aux, freqs[None].astype(jnp.float32),
       phase[None].astype(jnp.float32), *weight_ops)
     return out[:n, 0:3]
+
+
+# ---------------------------------------------------------------------------
+# Pair-compacted hierarchical path (BASELINE config 2 serving). The
+# (T, J)-grid hierarchical kernels above predicate skipped slabs with
+# pl.when, which still pays a grid step per (tile, slab) — at 450p that is
+# ~20k steps/frame for the fine pass, most of them background. These pair
+# variants run a grid of EXACTLY the occupied pairs (scalar-prefetched
+# lists, like pair_field_eval) and defer compositing to XLA:
+#   - pair_sigma_eval: sigma-only trunk on shared z (the coarse pass; a
+#     skipped pair reads as sigma = 0, which is EXACT for the importance
+#     resample — zero weight);
+#   - pair_field_eval_perz: the full field on PER-RAY depths delivered as
+#     a [J, S_SLAB, NT] buffer indexed like the outputs (the fine pass on
+#     the sorted coarse+fine union);
+#   - deferred_composite_head: head-only composite with per-ray dists.
+#     With last_dist >= 1e8 the catch-all alpha is EXACTLY 1.0 in f32
+#     (exp(-2e-6 * 1e10) underflows), so head = acc + t_final * bc needs
+#     NO field value at the far sample — the (T, J) kernel's forced
+#     last-slab evaluation was pure waste for background tiles.
+# ---------------------------------------------------------------------------
+
+
+def _pair_sigma_kernel(
+    t_idx, j_idx, z_ref, o_ref, d_ref, freq_ref, phase_ref,
+    w_in, b_in, w_blocks, b_blocks, w_skip, b_skip, w_sf, b_sf,
+    sig_out, *, act: str = "relu", per_ray_z: bool = False,
+):
+    o = o_ref[:]
+    d = d_ref[:]
+    freq = freq_ref[:]
+    ph = phase_ref[:]
+    encs = []
+    for s in range(S_SLAB):
+        z_s = z_ref[0, s, :][:, None] if per_ray_z else z_ref[0, 0, s]
+        encs.append(jnp.sin((o + d * z_s) * freq + ph))
+    pe = jnp.concatenate(encs, axis=0).astype(jnp.bfloat16)
+    h = jnp.maximum(_mm(pe, w_in[:]) + b_in[:], 0.0).astype(jnp.bfloat16)
+    for i in range(7):
+        h = jnp.maximum(_mm(h, w_blocks[i]) + b_blocks[i], 0.0)
+        if i == 3:
+            h = h + _mm(pe, w_skip[:]) + b_skip[:]
+        h = h.astype(jnp.bfloat16)
+    sigma = density_act((_mm(h, w_sf[:]) + b_sf[:])[:, 0:1], act)
+    sig_out[0] = sigma[:, 0].reshape(S_SLAB, R_T)
+
+
+def pair_sigma_eval(
+    pw: Dict[str, jnp.ndarray],
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    t_idx: jnp.ndarray,
+    j_idx: jnp.ndarray,
+    interpret: bool = None,
+    act: str = "relu",
+) -> jnp.ndarray:
+    """Sigma-only pair-compacted head forward (hierarchical coarse pass).
+
+    rays [n, 3] in tile order (n % R_T == 0), z_vals [S] shared. Returns
+    a dense [n_slabs, S_SLAB, (n_tiles+1)*R_T] fp32 sigma buffer; only
+    listed pairs' blocks are written — callers MUST mask reads with the
+    flags that built the list."""
+    n = rays_o.shape[0]
+    S = z_vals.shape[0]
+    assert S % S_SLAB == 0 and n % R_T == 0
+    n_slabs = S // S_SLAB
+    n_tiles = n // R_T
+    if t_idx.shape[0] == 0:
+        return jnp.zeros((n_slabs, S_SLAB, (n_tiles + 1) * R_T),
+                         jnp.float32)
+    o_r = jnp.concatenate(
+        [pe_replicate(rays_o), jnp.zeros((R_T, PE_PAD), jnp.float32)])
+    d_r = jnp.concatenate(
+        [pe_replicate(rays_d), jnp.zeros((R_T, PE_PAD), jnp.float32)])
+    freqs, phase = pe_freq_phase()
+    z_rows = jnp.zeros((n_slabs, 8, 128), jnp.float32).at[:, 0, :S_SLAB].set(
+        z_vals.astype(jnp.float32).reshape(n_slabs, S_SLAB)
+    )
+    weight_ops = [
+        pw["w_in"], pw["b_in"][None], pw["w_blocks"], pw["b_blocks"],
+        pw["w_skip"], pw["b_skip"][None], pw["w_sf"], pw["b_sf"][None],
+    ]
+    weight_specs = [_full(op.shape) for op in weight_ops]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t_idx.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda k, ti, ji: (ji[k], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_T, PE_PAD), lambda k, ti, ji: (ti[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_T, PE_PAD), lambda k, ti, ji: (ti[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PE_PAD), lambda k, ti, ji: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PE_PAD), lambda k, ti, ji: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + weight_specs,
+        out_specs=pl.BlockSpec(
+            (1, S_SLAB, R_T), lambda k, ti, ji: (ji[k], 0, ti[k]),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_pair_sigma_kernel, act=act),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_slabs, S_SLAB, (n_tiles + 1) * R_T), jnp.float32),
+        interpret=_interp(interpret),
+    )(t_idx.astype(jnp.int32), j_idx.astype(jnp.int32), z_rows,
+      o_r, d_r, freqs, phase, *weight_ops)
+
+
+def _pair_field_perz_kernel(
+    t_idx, j_idx, z_ref, o_ref, d_ref, vr_ref, freq_ref, phase_ref,
+    w_in, b_in, w_blocks, b_blocks, w_skip, b_skip, w_sf, b_sf,
+    w_out, b_out,
+    sig_out, r_out, g_out, b_out_ref, *, act: str = "relu",
+):
+    rows = S_SLAB * R_T
+    o = o_ref[:]
+    d = d_ref[:]
+    freq = freq_ref[:]
+    ph = phase_ref[:]
+    encs = []
+    for s in range(S_SLAB):
+        z_s = z_ref[0, s, :][:, None]  # per-ray depth
+        encs.append(jnp.sin((o + d * z_s) * freq + ph))
+    pe = jnp.concatenate(encs, axis=0).astype(jnp.bfloat16)
+    h = jnp.maximum(_mm(pe, w_in[:]) + b_in[:], 0.0).astype(jnp.bfloat16)
+    for i in range(7):
+        h = jnp.maximum(_mm(h, w_blocks[i]) + b_blocks[i], 0.0)
+        if i == 3:
+            h = h + _mm(pe, w_skip[:]) + b_skip[:]
+        h = h.astype(jnp.bfloat16)
+    sf = _mm(h, w_sf[:]) + b_sf[:]
+    sigma = density_act(sf[:, 0:1], act)
+    vr = jnp.broadcast_to(
+        vr_ref[:][None], (S_SLAB, R_T, 256)).reshape(rows, 256)
+    net = jnp.maximum(sf[:, 128:384] + vr.astype(jnp.float32), 0.0)
+    rgb = jax.nn.sigmoid(_mm(net.astype(jnp.bfloat16), w_out[:]) + b_out[:])
+    sig_out[0] = sigma[:, 0].reshape(S_SLAB, R_T)
+    r_out[0] = rgb[:, 0].reshape(S_SLAB, R_T).astype(jnp.bfloat16)
+    g_out[0] = rgb[:, 1].reshape(S_SLAB, R_T).astype(jnp.bfloat16)
+    b_out_ref[0] = rgb[:, 2].reshape(S_SLAB, R_T).astype(jnp.bfloat16)
+
+
+def pair_field_eval_perz(
+    pw: Dict[str, jnp.ndarray],
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    z_buf: jnp.ndarray,
+    t_idx: jnp.ndarray,
+    j_idx: jnp.ndarray,
+    interpret: bool = None,
+    act: str = "relu",
+) -> Tuple[jnp.ndarray, ...]:
+    """Head-field pair evaluation with PER-RAY depths (hierarchical fine
+    pass). z_buf [n_slabs, S_SLAB, (n_tiles+1)*R_T] fp32 holds the sorted
+    union depths in the same (slab, tile) blocking as the outputs.
+    Returns the pair_field_eval 4-tuple of channel buffers."""
+    n = rays_o.shape[0]
+    assert n % R_T == 0
+    n_slabs = z_buf.shape[0]
+    n_tiles = n // R_T
+    assert z_buf.shape == (n_slabs, S_SLAB, (n_tiles + 1) * R_T)
+    if t_idx.shape[0] == 0:
+        return tuple(
+            jnp.zeros((n_slabs, S_SLAB, (n_tiles + 1) * R_T),
+                      jnp.float32 if c == 0 else jnp.bfloat16)
+            for c in range(4)
+        )
+    o_r = jnp.concatenate(
+        [pe_replicate(rays_o), jnp.zeros((R_T, PE_PAD), jnp.float32)])
+    d_r = jnp.concatenate(
+        [pe_replicate(rays_d), jnp.zeros((R_T, PE_PAD), jnp.float32)])
+    vr = view_bias(pw, rays_d).astype(jnp.bfloat16)
+    vr = jnp.concatenate([vr, jnp.zeros((R_T, 256), vr.dtype)])
+    freqs, phase = pe_freq_phase()
+    weight_ops = [
+        pw["w_in"], pw["b_in"][None], pw["w_blocks"], pw["b_blocks"],
+        pw["w_skip"], pw["b_skip"][None], pw["w_sf"], pw["b_sf"][None],
+        pw["w_out"], pw["b_out"][None],
+    ]
+    weight_specs = [_full(op.shape) for op in weight_ops]
+    pair_spec = pl.BlockSpec(
+        (1, S_SLAB, R_T), lambda k, ti, ji: (ji[k], 0, ti[k]),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t_idx.shape[0],),
+        in_specs=[
+            pair_spec,  # per-ray z
+            pl.BlockSpec((R_T, PE_PAD), lambda k, ti, ji: (ti[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_T, PE_PAD), lambda k, ti, ji: (ti[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_T, 256), lambda k, ti, ji: (ti[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PE_PAD), lambda k, ti, ji: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PE_PAD), lambda k, ti, ji: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + weight_specs,
+        out_specs=tuple(
+            pl.BlockSpec(
+                (1, S_SLAB, R_T), lambda k, ti, ji: (ji[k], 0, ti[k]),
+                memory_space=pltpu.VMEM,
+            ) for _ in range(4)
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_pair_field_perz_kernel, act=act),
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(
+                (n_slabs, S_SLAB, (n_tiles + 1) * R_T),
+                jnp.float32 if c == 0 else jnp.bfloat16,
+            ) for c in range(4)
+        ),
+        interpret=_interp(interpret),
+    )(t_idx.astype(jnp.int32), j_idx.astype(jnp.int32), z_buf,
+      o_r, d_r, vr, freqs, phase, *weight_ops)
+
+
+def deferred_composite_head(
+    buf: Tuple[jnp.ndarray, ...],
+    occ: jnp.ndarray,
+    dists: jnp.ndarray,
+    bc_rgb: jnp.ndarray,
+) -> jnp.ndarray:
+    """Head-only composite of a pair buffer with PER-RAY dists [S, n]
+    (tail dist 0), closed by the exact background catch-all: with
+    last_dist >= 1e8 the catch-all alpha saturates to exactly 1.0 in f32,
+    so head = acc + t_final * bc with no far-plane field value needed
+    (run_nerf_com_trainExpLater.py:863-886 head-stack last-sample math).
+
+    buf: pair_field_eval 4-tuple [J, S_SLAB, NT]; occ [T, J] the flags
+    that built the pair list; bc_rgb [n, 3]."""
+    J = buf[0].shape[0]
+    NT = buf[0].shape[2]
+    S, n = dists.shape
+    T = n // R_T
+    assert S == J * S_SLAB
+
+    flag = occ.astype(bool).T[:, None, :, None]
+
+    def chan(b):
+        x = b.reshape(J, S_SLAB, NT // R_T, R_T)[:, :, :T]
+        x = jnp.where(flag, x.astype(jnp.float32), 0.0)
+        return x.reshape(S, n)
+
+    sigma = chan(buf[0])
+    rgbs = tuple(chan(b) for b in buf[1:])
+    alpha = 1.0 - jnp.exp(-(sigma + 1e-6) * dists)
+    t = jnp.cumprod(1.0 - alpha + 1e-10, axis=0)
+    t_prev = jnp.concatenate([jnp.ones((1, n)), t[:-1]], axis=0)
+    w = alpha * t_prev
+    acc = jnp.stack([(w * c).sum(axis=0) for c in rgbs], axis=-1)
+    return acc + t[-1:, :].T * bc_rgb.astype(jnp.float32)

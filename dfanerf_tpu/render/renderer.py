@@ -100,6 +100,11 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
                       + dirs_tiled[:, 2:3] * R[:, 2][None])
                 return jnp.broadcast_to(pose[:3, -1], rd.shape), rd
 
+        # kernel weight dtype follows compute_dtype (bf16 on TPU; f32 for
+        # the CPU interpret-mode tests — CPU dots reject bf16 x bf16)
+        pdt = (jnp.bfloat16 if rcfg.compute_dtype == "bfloat16"
+               else jnp.float32)
+
         def frame_inputs(params, z_shape, z_app, pose, pose_torso,
                          signal, signal_torso, bc_img):
             bc = bc_img.astype(jnp.float32) / 255.0
@@ -117,11 +122,12 @@ def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
                 rd_t = rays_d_t.reshape(-1, 3)
                 bc_p = bc.reshape(-1, 3)
             pw_h = pack_field_weights(
-                params["decoder"], dcfg, signal, z_shape[0], z_app[0], "head"
+                params["decoder"], dcfg, signal, z_shape[0], z_app[0],
+                "head", param_dtype=pdt,
             )
             pw_t = pack_field_weights(
                 params["decoder"], dcfg, signal_torso, z_shape[1], z_app[1],
-                "torso",
+                "torso", param_dtype=pdt,
             )
             return pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p
 
@@ -501,6 +507,8 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
 
     act = cfg.decoder.density_activation
     dcfg = cfg.decoder
+    pdt = (jnp.bfloat16 if rcfg.compute_dtype == "bfloat16"
+           else jnp.float32)
 
     T = len(perm) // R_T
     J = rcfg.n_samples // S_SLAB
@@ -616,23 +624,24 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         c_mix = (sh * bc + 1e-6 * ct) / denom
         return jnp.max(jnp.abs(c_mix - bc))
 
-    def update_far_skip(window_inputs):
+    def update_far_skip(window_inputs, into=None):
         """Refresh-time far_skip decision: measure the exact c_mix
         deviation on each prepped frame; skip the per-frame far programs
         for the window only if every measured frame is under tolerance
         (live serving measures the one refresh frame; window staleness is
         covered by the benchmarks' max-error discipline)."""
+        st = cache if into is None else into
         if rcfg.far_skip_tol <= 0 or rcfg.last_dist < 1e8:
-            cache["far_skip"] = False
+            st["far_skip"] = False
             return
         err = max(
             float(cmix_err_fn(far_fn(inp), inp[6])) for inp in window_inputs
         )
-        cache["far_cmix_err"] = err
-        cache["far_skip"] = err <= rcfg.far_skip_tol
+        st["far_cmix_err"] = err
+        st["far_skip"] = err <= rcfg.far_skip_tol
         if os.environ.get("DFANERF_DEBUG_COMPACTION"):
             print(f"[pairs:far_skip] cmix_err={err:.2e} "
-                  f"skip={cache['far_skip']}", flush=True)
+                  f"skip={st['far_skip']}", flush=True)
 
     # pair-count ladder: step-32 rungs through the serving range (each
     # padding pair costs a full 2048-sample kernel step ~25 us, so at
@@ -648,7 +657,8 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
 
     cache = {"age": 0, "lists": None, "occ": None}
 
-    def set_flags(occ, tag="flags"):
+    def set_flags(occ, tag="flags", into=None):
+        st = cache if into is None else into
         occ_np = np.asarray(occ)
         if os.environ.get("DFANERF_DEBUG_COMPACTION"):
             print(f"[pairs:{tag}] head={int(occ_np[0].sum())} "
@@ -677,50 +687,53 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             t_i = np.concatenate([t_i, np.full(pad, k_u)]).astype(np.int32)
             j_i = np.concatenate([j_i, np.zeros(pad)]).astype(np.int32)
             lists.append((jnp.asarray(t_i), jnp.asarray(j_i)))
-        cache.update(
+        st.update(
             age=0, lists=lists, occ=jnp.asarray(occ_np),
             tiles_u=tiles_u, tiles_sel=jnp.asarray(tiles_pad),
             occ_sub=jnp.asarray(occ_sub),
             tiles_scatter=jnp.asarray(tiles_scatter),
         )
 
-    def run_pipeline(inputs, diag=False):
+    def run_pipeline(inputs, diag=False, st=None):
         """Gather occupied tiles + kernels + compacted composite + full-
-        frame blend under the CURRENT flag lists (each its own jit program
-        per the composed-program kernel-fault rule). Returns imgs, or with
-        ``diag=True`` (refresh-time) (imgs, tm_h, tm_c, contrib_h,
-        contrib_t) — the diagnostics in COMPACTED tile coordinates
-        (cache['tiles_u'] maps back)."""
-        ro_g, rd_g, ro_t_g, rd_t_g = gather_fn(inputs, cache["tiles_sel"])
+        frame blend under the flag lists of ``st`` (default: the live
+        cache; each stage its own jit program per the composed-program
+        kernel-fault rule). Returns imgs, or with ``diag=True``
+        (refresh-time) (imgs, tm_h, tm_c, contrib_h, contrib_t) — the
+        diagnostics in COMPACTED tile coordinates (st['tiles_u'] maps
+        back)."""
+        st = cache if st is None else st
+        ro_g, rd_g, ro_t_g, rd_t_g = gather_fn(inputs, st["tiles_sel"])
         bufs = []
         for pw, o, d, branch, (ti, ji) in (
-                (inputs[0], ro_g, rd_g, "head", cache["lists"][0]),
-                (inputs[1], ro_t_g, rd_t_g, "torso", cache["lists"][1])):
+                (inputs[0], ro_g, rd_g, "head", st["lists"][0]),
+                (inputs[1], ro_t_g, rd_t_g, "torso", st["lists"][1])):
             ck = (int(ti.shape[0]), int(ro_g.shape[0]), branch)
             if ck not in kernel_cache:
                 kernel_cache[ck] = make_kernel(branch)
             bufs.append(kernel_cache[ck](pw, o, d, ti, ji))
-        far_skip = cache.get("far_skip", False)
+        far_skip = st.get("far_skip", False)
         far_vals = None if far_skip else far_fn(inputs)
         comp_fn = composite_diag_fn if diag else composite_fn
         ah, ac, t_h, t_c, *diags = comp_fn(
-            rd_g, rd_t_g, bufs[0], bufs[1], cache["occ_sub"])
+            rd_g, rd_t_g, bufs[0], bufs[1], st["occ_sub"])
         if far_skip:
             imgs = blend_nofar_fn(inputs, ah, ac, t_h, t_c,
-                                  cache["tiles_scatter"])
+                                  st["tiles_scatter"])
         else:
             imgs = blend_fn(inputs, far_vals, ah, ac, t_h, t_c,
-                            cache["tiles_scatter"])
+                            st["tiles_scatter"])
         return (imgs, *diags) if diag else imgs
 
-    def expand_tiles(x_sub):
+    def expand_tiles(x_sub, st=None):
         """[K_u, J] compacted diagnostic -> [T, J] full (zeros off-U)."""
+        st = cache if st is None else st
         full = np.zeros((T, x_sub.shape[1]), np.float32)
-        tiles_u = cache["tiles_u"]
+        tiles_u = st["tiles_u"]
         full[tiles_u] = np.asarray(x_sub)[:len(tiles_u)]
         return full
 
-    def prune_flags(tm_h, tm_c, cb_h, cb_t):
+    def prune_flags(tm_h, tm_c, cb_h, cb_t, st=None):
         """Keep-masks [T, J] from one frame's composite diagnostics
         (compacted coordinates, expanded here): drop pairs saturated
         behind opacity (occ_prune_trans, tile-max transmittance) or
@@ -731,13 +744,14 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         keep_t = np.ones((T, J), bool)
         if rcfg.occ_prune_trans > 0:
             eps = rcfg.occ_prune_trans
-            tm_h_f, tm_c_f = expand_tiles(tm_h), expand_tiles(tm_c)
+            tm_h_f = expand_tiles(tm_h, st)
+            tm_c_f = expand_tiles(tm_c, st)
             keep_h &= np.maximum(tm_h_f, tm_c_f) > eps
             keep_t &= tm_c_f > eps
         if rcfg.occ_prune_contrib > 0:
             eps = rcfg.occ_prune_contrib
-            keep_h &= expand_tiles(cb_h) > eps
-            keep_t &= expand_tiles(cb_t) > eps
+            keep_h &= expand_tiles(cb_h, st) > eps
+            keep_t &= expand_tiles(cb_t, st) > eps
         return keep_h, keep_t
 
     _SLOT_KEYS = ("lists", "occ", "tiles_u", "tiles_sel", "occ_sub",
@@ -826,10 +840,11 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             from dfanerf_tpu.ops.fused_render import PE_PAD
 
             pw_h = pack_field_weights(params["decoder"], dcfg, signal,
-                                      z_shape[0], z_app[0], "head")
+                                      z_shape[0], z_app[0], "head",
+                                      param_dtype=pdt)
             pw_t = pack_field_weights(params["decoder"], dcfg,
                                       signal_torso, z_shape[1], z_app[1],
-                                      "torso")
+                                      "torso", param_dtype=pdt)
             ro, rd = tiled_rays(pose)
             ro_t, rd_t = tiled_rays(pose_torso)
             bc_p = tile_order(bc_img.astype(jnp.float32) / 255.0)
@@ -956,6 +971,74 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                                 st["occ_sub"], far_vals, rd, rd_t,
                                 bc_p, st["tiles_scatter"])
 
+    # ---------------- async (double-buffered) live refresh ----------------
+    # The stream never waits for a refresh: a worker thread builds the next
+    # flag state (occupancy sync + host bucketing + far_skip measurement +
+    # prune diagnostics + fast-path compiles for first-seen pair counts)
+    # against a snapshot of one frame's inputs, then render() swaps it in
+    # between frames. JAX dispatch is thread-safe; the worker's device work
+    # (one occ probe + at most one diagnostic render per cycle) shares the
+    # chip with serving, which costs a bounded slice of throughput instead
+    # of a multi-second stall every occ_refresh_every frames.
+    import threading as _threading
+
+    worker = {"thread": None, "result": None, "error": None, "fails": 0}
+
+    def _refresh_async(inputs, keeps, keep_age):
+        try:
+            st = {}
+            occ = occ_fn(inputs)
+            prune_on = (rcfg.occ_prune_trans > 0
+                        or rcfg.occ_prune_contrib > 0)
+            carry = (prune_on and rcfg.occ_prune_carry > 0
+                     and keeps is not None
+                     and keep_age < rcfg.occ_prune_carry)
+            if carry:
+                occ_np = np.asarray(occ)
+                kh, kt = keeps
+                set_flags(np.stack([occ_np[0] * kh, occ_np[1] * kt]),
+                          tag="pruned-carry-async", into=st)
+                update_far_skip([inputs], into=st)
+                keep_age += 1
+            else:
+                set_flags(occ, tag="async", into=st)
+                update_far_skip([inputs], into=st)
+                if prune_on:
+                    _, tm_h, tm_c, cb_h, cb_t = run_pipeline(
+                        inputs, diag=True, st=st)
+                    kh, kt = prune_flags(tm_h, tm_c, cb_h, cb_t, st=st)
+                    keeps, keep_age = (kh, kt), 0
+                    occ_np = np.asarray(st["occ"])
+                    set_flags(np.stack([occ_np[0] * kh, occ_np[1] * kt]),
+                              tag="pruned-async", into=st)
+            fast_parts(st)  # first-seen pair-count compiles happen HERE,
+            # off the stream — a compile stalls the swap, not the frames
+            worker["result"] = (st, keeps, keep_age)
+        except Exception as e:  # noqa: BLE001 — surfaced via _poll_worker
+            worker["error"] = e
+
+    def _poll_worker():
+        th = worker["thread"]
+        if th is None or th.is_alive():
+            return
+        worker["thread"] = None
+        if worker["error"] is not None:
+            err, worker["error"] = worker["error"], None
+            worker["fails"] += 1
+            if worker["fails"] >= 3:
+                raise err
+            if os.environ.get("DFANERF_DEBUG_COMPACTION"):
+                print(f"[pairs:async] refresh failed (retrying next "
+                      f"cycle): {err}", flush=True)
+            return  # transient (e.g. remote-compile hiccup): serve stale
+        st, keeps, keep_age = worker["result"]
+        worker["result"] = None
+        worker["fails"] = 0
+        cache.update({k: st.get(k) for k in _SLOT_KEYS})
+        cache["keeps"] = keeps
+        cache["keep_age"] = keep_age
+        cache["age"] = 1
+
     def render(params, z_shape, z_app, pose, pose_torso, signal,
                signal_torso, bc_img, window_slot=None):
         if window_slot is not None and cache.get("slots"):
@@ -966,6 +1049,24 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                             signal, signal_torso, bc_img,
                             st=cache["slots"][window_slot
                                               % len(cache["slots"])])
+        if (rcfg.occ_async_refresh and cache["lists"] is not None
+                and not cache.get("pinned")):
+            _poll_worker()
+            cache["age"] += 1
+            if (cache["age"] > max(rcfg.occ_refresh_every, 1)
+                    and worker["thread"] is None):
+                inputs = inputs_fn(params, z_shape, z_app, pose,
+                                   pose_torso, signal, signal_torso,
+                                   bc_img)
+                worker["thread"] = _threading.Thread(
+                    target=_refresh_async,
+                    args=(inputs, cache.get("keeps"),
+                          cache.get("keep_age", 0)),
+                    daemon=True,
+                )
+                worker["thread"].start()
+            return run_fast(params, z_shape, z_app, pose, pose_torso,
+                            signal, signal_torso, bc_img)
         refreshed = (cache["lists"] is None
                      or (not cache.get("pinned")
                          and cache["age"] >= max(rcfg.occ_refresh_every, 1)))
@@ -1031,6 +1132,7 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
     render.refresh_union = refresh_union
     render.cache = cache
     render.fast_parts = fast_parts
+    render.worker = worker  # async-refresh state (tests/diagnostics)
     return render
 
 
@@ -1052,6 +1154,10 @@ def make_head_hierarchical_renderer(
     n_pix = H * W
     n_tiles = -(-n_pix // tile)
     n_pad = n_tiles * tile - n_pix
+
+    if (rcfg.use_fused_kernel and rcfg.occ_pair_compaction
+            and rcfg.occ_sigma_thresh > 0):
+        return _make_hier_pair_renderer(cfg, hwfcxy, near, far)
 
     if rcfg.use_fused_kernel:
         from dfanerf_tpu.core.compositing import volume_render
@@ -1094,7 +1200,11 @@ def make_head_hierarchical_renderer(
             rd = rays_d.reshape(-1, 3)[perm]
             bc = (bc_img.reshape(-1, 3).astype(jnp.float32) / 255.0)[perm]
             pw = pack_field_weights(
-                params["decoder"], dcfg, signal, z_shape[0], z_app[0], "head"
+                params["decoder"], dcfg, signal, z_shape[0], z_app[0],
+                "head",
+                param_dtype=(jnp.bfloat16
+                             if rcfg.compute_dtype == "bfloat16"
+                             else jnp.float32),
             )
             return pw, ro, rd, bc
 
@@ -1183,6 +1293,249 @@ def make_head_hierarchical_renderer(
 
         rgb = jax.lax.map(body, (ro, rd, bcp))
         return rgb.reshape(-1, 3)[:n_pix].reshape(H, W, 3)
+
+    return render
+
+
+def _make_hier_pair_renderer(cfg: ExperimentConfig, hwfcxy, near: float,
+                             far: float):
+    """Pair-compacted hierarchical serving path (BASELINE config 2).
+
+    The (T, J)-grid hierarchical kernels predicate skipped slabs with
+    pl.when — at 450p that is ~7k coarse + ~20k fine grid steps per frame,
+    most of them background, and every background tile still runs a full
+    final-slab field evaluation for the bg catch-all. Here both passes run
+    pair-compacted (ops/fused_render.py pair_sigma_eval /
+    pair_field_eval_perz), compositing is deferred to XLA with per-ray
+    dists, and the catch-all costs nothing: with last_dist >= 1e8 its
+    alpha is exactly 1.0 in f32, so head = acc + t_final * bc
+    (deferred_composite_head). Tiles with no coarse occupancy anywhere
+    output the background pixel directly — sound, because the fine depths
+    lie in the same [near, far] frustum the coarse SAT test cleared.
+
+    Per frame: prep -> coarse flags+SAT -> [host sync ~7 KB: union tiles +
+    coarse pair list] -> gather + sigma pair kernel -> resample (weights,
+    fine union z, fine flags via the SAME SAT) -> [host sync ~20 KB: fine
+    pair list] -> fine pair kernel -> composite+scatter. Pair/tile counts
+    are bucketed so steady state reuses a handful of compiled programs.
+    """
+    from dfanerf_tpu.core.compositing import volume_render
+    from dfanerf_tpu.core.sampling import hierarchical_z_vals
+    from dfanerf_tpu.ops.fused_render import (
+        R_T, S_SLAB, deferred_composite_head, occupancy_flags_and_sat,
+        pair_field_eval_perz, pair_sigma_eval, spatial_tile_permutation,
+    )
+    from dfanerf_tpu.ops.pack import pack_field_weights
+
+    H, W, focal, cx, cy = hwfcxy
+    H, W = int(H), int(W)
+    rcfg, dcfg = cfg.render, cfg.decoder
+    act = dcfg.density_activation
+    pdt = (jnp.bfloat16 if rcfg.compute_dtype == "bfloat16"
+           else jnp.float32)
+    S_c = rcfg.n_samples
+    S_f = S_c + rcfg.n_importance
+    assert S_c % S_SLAB == 0 and S_f % S_SLAB == 0
+    J_c, J_f = S_c // S_SLAB, S_f // S_SLAB
+    perm = spatial_tile_permutation(H, W)
+    n_perm = int(perm.shape[0])
+    T = n_perm // R_T
+    hb, wb = -(-H // 16), -(-W // 16)
+    z_c = jnp.linspace(near, far, S_c)
+
+    # tiled ray generation + bc tiling (same construction as the pair
+    # serving path: elementwise rotation of precomputed camera-space dirs)
+    _cx = W * 0.5 if cx is None else cx
+    _cy = H * 0.5 if cy is None else cy
+    _iy = np.minimum(np.arange(hb * 16), H - 1)
+    _ix = np.minimum(np.arange(wb * 16), W - 1)
+    _ii, _jj = np.meshgrid(_ix, _iy, indexing="xy")
+    _dirs = np.stack(
+        [(_ii - _cx) / focal, -(_jj - _cy) / focal,
+         -np.ones_like(_ii, np.float32)], axis=-1
+    ).astype(np.float32)
+    dirs_tiled = jnp.asarray(
+        _dirs.reshape(hb, 16, wb, 16, 3).transpose(
+            0, 2, 1, 3, 4).reshape(hb * wb * 256, 3))
+
+    def tiled_rays(pose):
+        R = pose[:3, :3]
+        rd = (dirs_tiled[:, 0:1] * R[:, 0][None]
+              + dirs_tiled[:, 1:2] * R[:, 1][None]
+              + dirs_tiled[:, 2:3] * R[:, 2][None])
+        return jnp.broadcast_to(pose[:3, -1], rd.shape), rd
+
+    def tile_order(img):
+        v = jnp.pad(img, ((0, hb * 16 - H), (0, wb * 16 - W), (0, 0)),
+                    mode="edge")
+        return v.reshape(hb, 16, wb, 16, -1).transpose(
+            0, 2, 1, 3, 4).reshape(hb * wb * 256, -1)
+
+    def unpermute(v):
+        return v.reshape(hb, wb, 16, 16, 3).transpose(
+            0, 2, 1, 3, 4).reshape(hb * 16, wb * 16, 3)[:H, :W]
+
+    @jax.jit
+    def prep_fn(params, z_shape, z_app, pose, signal, bc_img):
+        pw = pack_field_weights(
+            params["decoder"], dcfg, signal, z_shape[0], z_app[0], "head",
+            param_dtype=pdt,
+        )
+        ro, rd = tiled_rays(pose)
+        bc_p = tile_order(bc_img.astype(jnp.float32) / 255.0)
+        return pw, ro, rd, bc_p
+
+    @jax.jit
+    def coarse_flags_fn(pw, ro, rd):
+        zb = jnp.broadcast_to(z_c, (n_perm, S_c))
+        return occupancy_flags_and_sat(
+            pw, "head", ro, rd, zb, rcfg.occ_sigma_thresh,
+            grid_res=rcfg.occ_grid_res, act=act,
+        )
+
+    gather_cache = {}
+
+    def get_gather(k_u):
+        if k_u not in gather_cache:
+            @jax.jit
+            def g(ro, rd, bc_p, tiles_sel):
+                sel = lambda x: x.reshape(T, R_T, 3)[tiles_sel].reshape(
+                    -1, 3)
+                return sel(ro), sel(rd), sel(bc_p)
+
+            gather_cache[k_u] = g
+        return gather_cache[k_u]
+
+    sigma_cache = {}
+
+    def get_sigma(kp, k_u):
+        key = (kp, k_u)
+        if key not in sigma_cache:
+            @jax.jit
+            def f(pw, ro_g, rd_g, ti, ji):
+                return pair_sigma_eval(pw, ro_g, rd_g, z_c, ti, ji, act=act)
+
+            sigma_cache[key] = f
+        return sigma_cache[key]
+
+    resample_cache = {}
+
+    def get_resample(k_u):
+        if k_u not in resample_cache:
+            n_u = k_u * R_T
+
+            @jax.jit
+            def f(pw, ro_g, rd_g, sig_buf, occ_sub, sat, lo, span):
+                flag = occ_sub.astype(bool).T[:, None, :, None]
+                x = sig_buf.reshape(J_c, S_SLAB, k_u + 1, R_T)[:, :, :k_u]
+                x = jnp.where(flag, x, 0.0).reshape(S_c, n_u)
+                sigma_c = x.T.at[:, -1].add(1e-6)  # bg-concat density bump
+                z_b = jnp.broadcast_to(z_c, (n_u, S_c))
+                _, weights = volume_render(
+                    z_b, rd_g, sigma_c[None],
+                    jnp.zeros((1, n_u, S_c, 3)), last_dist=rcfg.last_dist,
+                )
+                z_fine = hierarchical_z_vals(
+                    z_b, weights, rcfg.n_importance, det=True)  # [n_u, S_f]
+                occ_f, _ = occupancy_flags_and_sat(
+                    pw, "head", ro_g, rd_g, z_fine, rcfg.occ_sigma_thresh,
+                    grid_res=rcfg.occ_grid_res, sat_cache=(sat, lo, span),
+                    act=act,
+                )
+                zf = z_fine.astype(jnp.float32)
+                z_buf = zf.reshape(k_u, R_T, J_f, S_SLAB).transpose(
+                    2, 3, 0, 1).reshape(J_f, S_SLAB, n_u)
+                z_buf = jnp.concatenate(
+                    [z_buf, jnp.zeros((J_f, S_SLAB, R_T))], axis=2)
+                diffs = jnp.concatenate(
+                    [zf[:, 1:] - zf[:, :-1], jnp.zeros((n_u, 1))], axis=1)
+                dists = (diffs * jnp.linalg.norm(
+                    rd_g.astype(jnp.float32), axis=-1, keepdims=True)).T
+                return z_buf, dists, occ_f
+
+            resample_cache[k_u] = f
+        return resample_cache[k_u]
+
+    fine_cache = {}
+
+    def get_fine(kp, k_u):
+        key = (kp, k_u)
+        if key not in fine_cache:
+            @jax.jit
+            def f(pw, ro_g, rd_g, z_buf, ti, ji):
+                return pair_field_eval_perz(pw, ro_g, rd_g, z_buf, ti, ji,
+                                            act=act)
+
+            fine_cache[key] = f
+        return fine_cache[key]
+
+    finish_cache = {}
+
+    def get_finish(k_u):
+        if k_u not in finish_cache:
+            @jax.jit
+            def f(buf, occ_dev, dists, bc_g, bc_p, tiles_scatter):
+                head_u = deferred_composite_head(buf, occ_dev, dists, bc_g)
+                base = bc_p.reshape(T, R_T, 3)
+                full = jnp.concatenate(
+                    [base, jnp.zeros((1, R_T, 3))], axis=0)
+                full = full.at[tiles_scatter].set(
+                    head_u.reshape(-1, R_T, 3))
+                return unpermute(full[:T].reshape(-1, 3))
+
+            finish_cache[k_u] = f
+        return finish_cache[k_u]
+
+    tile_ladder = [k for k in (64, 128, 192, 256, 320, 416, 512, 672)
+                   if k < T] + [T]
+    pair_ladder = ([0, 128, 256] + list(range(320, 2049, 64))
+                   + [2560, 3072, 4096, 6144, T * J_f])
+
+    def bucket(c, ladder):
+        return next(b for b in ladder if b >= c)
+
+    def pair_list(occ_np, k_u):
+        """Bucketed (tile, slab) pair lists in COMPACT tile coords from
+        [k_u, J] numpy flags (padding rows already zeroed); padding pairs
+        target the dummy tile row k_u."""
+        t_i, j_i = np.nonzero(occ_np)
+        order = np.lexsort((j_i, t_i))
+        t_i, j_i = t_i[order], j_i[order]
+        pad = bucket(len(t_i), pair_ladder) - len(t_i)
+        t_i = np.concatenate([t_i, np.full(pad, k_u)]).astype(np.int32)
+        j_i = np.concatenate([j_i, np.zeros(pad)]).astype(np.int32)
+        return jnp.asarray(t_i), jnp.asarray(j_i)
+
+    def render(params, z_shape, z_app, pose, signal, bc_img):
+        pw, ro, rd, bc_p = prep_fn(params, z_shape, z_app, pose, signal,
+                                   bc_img)
+        occ_c, (sat, lo, span) = coarse_flags_fn(pw, ro, rd)
+        occ_c_np = np.asarray(occ_c)  # host sync ~7 KB
+        tiles_u = np.nonzero(occ_c_np.max(axis=1))[0]
+        if len(tiles_u) == 0:
+            # nothing occupied anywhere: every ray is t=1 background
+            return unpermute(bc_p)
+        k_u = bucket(len(tiles_u), tile_ladder)
+        tiles_sel = np.concatenate(
+            [tiles_u, np.zeros(k_u - len(tiles_u))]).astype(np.int32)
+        tiles_scatter = tiles_sel.copy()
+        tiles_scatter[len(tiles_u):] = T  # dummy row for padding tiles
+        occ_sub = occ_c_np[tiles_sel]
+        occ_sub[len(tiles_u):] = 0
+        ti_c, ji_c = pair_list(occ_sub, k_u)
+        tiles_sel_d = jnp.asarray(tiles_sel)
+        ro_g, rd_g, bc_g = get_gather(k_u)(ro, rd, bc_p, tiles_sel_d)
+        sig_buf = get_sigma(int(ti_c.shape[0]), k_u)(
+            pw, ro_g, rd_g, ti_c, ji_c)
+        z_buf, dists, occ_f = get_resample(k_u)(
+            pw, ro_g, rd_g, sig_buf, jnp.asarray(occ_sub), sat, lo, span)
+        occ_f_np = np.array(occ_f)  # host sync ~20 KB (writable copy)
+        occ_f_np[len(tiles_u):] = 0
+        ti_f, ji_f = pair_list(occ_f_np, k_u)
+        buf = get_fine(int(ti_f.shape[0]), k_u)(
+            pw, ro_g, rd_g, z_buf, ti_f, ji_f)
+        return get_finish(k_u)(buf, jnp.asarray(occ_f_np), dists, bc_g,
+                               bc_p, jnp.asarray(tiles_scatter))
 
     return render
 

@@ -38,6 +38,8 @@ def save_checkpoint(path: str, state: Any) -> None:
 def load_checkpoint(path: str, template: Any) -> Any:
     """Restore into the shape of ``template``; missing keys keep template
     values (tolerant resume), extra keys in the file are ignored."""
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"  # np.savez appends .npz to suffixless paths
     data = np.load(path)
     keys = set(data.keys())
 

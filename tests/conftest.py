@@ -83,6 +83,8 @@ _SLOW_TESTS = {
     "test_fan_hourglass_parity",
     "test_bg_epilogue_matches_kernel_mode",
     "test_fused_fine_pass_matches_xla_hierarchical",
+    "test_async_live_matches_sync_refresh",
+    "test_async_off_is_sync_path",
 }
 
 

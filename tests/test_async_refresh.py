@@ -1,0 +1,119 @@
+"""Async (double-buffered) live flag refresh: the pair-compaction serving
+renderer with occ_async_refresh must keep serving frames under stale flags
+while a worker thread builds the next flag state, then swap it in without
+a correctness break (renderer.py _refresh_async/_poll_worker).
+
+Runs the real pair-compaction path on CPU via the Pallas interpret mode
+(DFANERF_PALLAS_INTERPRET, resolved at call time in ops/fused_render)."""
+
+import dataclasses
+import time
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dfanerf_tpu.config import ExperimentConfig, RenderConfig, TrainConfig
+from dfanerf_tpu.data import make_synthetic_dataset
+from dfanerf_tpu.render.renderer import make_frame_renderer
+from dfanerf_tpu.train import dataset_to_device, init_train_state
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ExperimentConfig(
+        train=TrainConfig(n_rand=128),
+        render=RenderConfig(n_samples=16, tile_rays=256),
+    )
+    ds = make_synthetic_dataset(n_frames=6, H=32, W=32, n_samples_gt=16)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    data = dataset_to_device(ds)
+    return cfg, ds, state, data
+
+
+def _render_cfg(cfg, **kw):
+    return dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, **kw))
+
+
+def _frames(render, state, data, sig, sig_t, n):
+    outs = []
+    for i in range(n):
+        h, c = render(
+            state["params"], state["z_shape"], state["z_app"],
+            data["poses"][i % 6], data["poses"][0], sig, sig_t,
+            data["bc_img"],
+        )
+        outs.append(np.asarray(c))
+    return outs
+
+
+class TestAsyncRefresh:
+    def test_async_live_matches_sync_refresh(self, setup, monkeypatch):
+        """The async renderer's frames stay within the skip-lever error
+        bound of the no-skip fused render, the worker thread completes and
+        swaps at least once, and the swapped flag state keeps serving."""
+        monkeypatch.setenv("DFANERF_PALLAS_INTERPRET", "1")
+        cfg0, ds, state, data = setup
+        sig = jnp.zeros((cfg0.decoder.dim_signal,))
+        sig_t = jnp.zeros((cfg0.decoder.dim_et_embed,))
+
+        base = dict(n_samples=16, use_fused_kernel=True,
+                    spatial_tiles=True, occ_sigma_thresh=0.05,
+                    occ_grid_res=16, occ_refresh_every=2,
+                    occ_pair_compaction=True, occ_prune_contrib=1e-4,
+                    occ_prune_carry=1, ert_eps=0.0)
+        cfg_noskip = _render_cfg(cfg0, n_samples=16, use_fused_kernel=True,
+                                 spatial_tiles=True, ert_eps=0.0)
+        ref = make_frame_renderer(cfg_noskip, ds.hwfcxy, ds.near, ds.far)
+        ref_out = _frames(ref, state, data, sig, sig_t, 6)
+
+        cfg_async = _render_cfg(cfg0, **base, occ_async_refresh=True)
+        render = make_frame_renderer(cfg_async, ds.hwfcxy, ds.near, ds.far)
+        outs = _frames(render, state, data, sig, sig_t, 6)
+        # let the in-flight refresh land, then confirm the swap happened
+        # and serving continues under the new state
+        deadline = time.time() + 60.0
+        swapped = False
+        i = 0
+        while time.time() < deadline:
+            th = render.worker["thread"]
+            if th is not None:
+                th.join(timeout=60.0)
+            before = render.cache["age"]
+            h, c = render(
+                state["params"], state["z_shape"], state["z_app"],
+                data["poses"][i % 6], data["poses"][0], sig, sig_t,
+                data["bc_img"],
+            )
+            outs.append(np.asarray(c))
+            i += 1
+            if render.cache["age"] <= before:
+                swapped = True  # _poll_worker consumed a finished refresh
+                break
+        assert swapped, "async refresh never swapped a new flag state in"
+        assert render.worker["error"] is None
+
+        # a few more frames under the swapped state
+        outs += _frames(render, state, data, sig, sig_t, 4)
+        for j, o in enumerate(outs):
+            assert np.isfinite(o).all()
+            err = np.abs(o - ref_out[j % 6]).max()
+            assert err < 0.05, f"frame {j}: async skip error {err}"
+
+    def test_async_off_is_sync_path(self, setup, monkeypatch):
+        """Without occ_async_refresh the renderer keeps the synchronous
+        refresh semantics (age-gated, blocking) — guard that the async
+        branch is opt-in."""
+        monkeypatch.setenv("DFANERF_PALLAS_INTERPRET", "1")
+        cfg0, ds, state, data = setup
+        sig = jnp.zeros((cfg0.decoder.dim_signal,))
+        sig_t = jnp.zeros((cfg0.decoder.dim_et_embed,))
+        cfg_sync = _render_cfg(
+            cfg0, n_samples=16, use_fused_kernel=True, spatial_tiles=True,
+            occ_sigma_thresh=0.05, occ_grid_res=16, occ_refresh_every=2,
+            occ_pair_compaction=True, ert_eps=0.0)
+        render = make_frame_renderer(cfg_sync, ds.hwfcxy, ds.near, ds.far)
+        _frames(render, state, data, sig, sig_t, 3)
+        assert render.worker["thread"] is None

@@ -545,3 +545,125 @@ class TestFarSkipBound:
         # and the bound is TIGHT on dead-sigma rays (relu regime): those
         # rays measure a large deviation, auto-disabling the skip
         assert bound > 0.1
+
+
+class TestHierPairOps:
+    """The pair-compacted hierarchical passes: pair_sigma_eval and
+    pair_field_eval_perz + deferred_composite_head against the predicated
+    fused kernels on identical inputs (all pairs listed = same math)."""
+
+    def _rays(self, d, n):
+        reps = (n + d["n"] - 1) // d["n"]
+        return tuple(
+            jnp.concatenate([d[k]] * reps)[:n]
+            for k in ("rays_o", "rays_d", "bc")
+        )
+
+    def _pw(self, d):
+        return pack_field_weights(
+            d["params"], CFG, d["sig_h"], d["z_s"], d["z_a"], "head",
+            param_dtype=jnp.float32,
+        )
+
+    def _all_pairs(self, T, J):
+        t_i, j_i = np.meshgrid(np.arange(T), np.arange(J), indexing="ij")
+        return (jnp.asarray(t_i.ravel(), jnp.int32),
+                jnp.asarray(j_i.ravel(), jnp.int32))
+
+    def test_pair_sigma_matches_fused_sigma(self, setup):
+        from dfanerf_tpu.ops.fused_render import (
+            R_T, S_SLAB, fused_sigma_head, pair_sigma_eval,
+        )
+
+        d = setup
+        n = 512
+        ro, rd, _ = self._rays(d, n)
+        z = d["z_vals1"]
+        S = z.shape[0]
+        T, J = n // R_T, S // S_SLAB
+        pw = self._pw(d)
+        ref = fused_sigma_head(pw, ro, rd, z, interpret=True)
+        ti, ji = self._all_pairs(T, J)
+        buf = pair_sigma_eval(pw, ro, rd, z, ti, ji, interpret=True)
+        got = buf.reshape(J, S_SLAB, T + 1, R_T)[:, :, :T]
+        got = got.transpose(2, 3, 0, 1).reshape(n, S)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-4)
+
+    def test_perz_composite_matches_fused_render_head(self, setup):
+        """Per-ray-z pair eval + head-only deferred composite equals
+        fused_render_head with the same per-ray depths (the catch-all
+        alpha saturates exactly at last_dist=1e10, so the composite's
+        acc + t*bc closure is the same math as the kernel's in-march
+        bg-concat)."""
+        from dfanerf_tpu.ops.fused_render import (
+            R_T, S_SLAB, deferred_composite_head, fused_render_head,
+            pair_field_eval_perz,
+        )
+
+        d = setup
+        n = 512
+        ro, rd, bc = self._rays(d, n)
+        S = 16
+        T, J = n // R_T, S // S_SLAB
+        z_per = jnp.sort(jax.random.uniform(
+            jax.random.PRNGKey(3), (n, S), minval=0.3, maxval=0.9), axis=1)
+        pw = self._pw(d)
+        ref = fused_render_head(pw, ro, rd, z_per, bc, last_dist=1e10,
+                                interpret=True, ert_eps=0.0)
+        zf = z_per.astype(jnp.float32)
+        z_buf = zf.reshape(T, R_T, J, S_SLAB).transpose(
+            2, 3, 0, 1).reshape(J, S_SLAB, n)
+        z_buf = jnp.concatenate(
+            [z_buf, jnp.zeros((J, S_SLAB, R_T))], axis=2)
+        ti, ji = self._all_pairs(T, J)
+        buf = pair_field_eval_perz(pw, ro, rd, z_buf, ti, ji,
+                                   interpret=True)
+        diffs = jnp.concatenate(
+            [zf[:, 1:] - zf[:, :-1], jnp.zeros((n, 1))], axis=1)
+        dists = (diffs * jnp.linalg.norm(rd.astype(jnp.float32), axis=-1,
+                                         keepdims=True)).T
+        occ = jnp.ones((T, J), jnp.int32)
+        got = deferred_composite_head(buf, occ, dists, bc)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-3)
+
+    def test_perz_partial_pairs_match_zeroed_density(self, setup):
+        """Unlisted (tile, slab) pairs read as sigma = 0 through the
+        composite's flag mask — same contract as the shared-z pair path."""
+        from dfanerf_tpu.ops.fused_render import (
+            R_T, S_SLAB, deferred_composite_head, pair_field_eval_perz,
+        )
+
+        d = setup
+        n = 512
+        ro, rd, bc = self._rays(d, n)
+        S = 16
+        T, J = n // R_T, S // S_SLAB
+        z_per = jnp.broadcast_to(d["z_vals1"], (n, S))
+        zf = z_per.astype(jnp.float32)
+        z_buf = zf.reshape(T, R_T, J, S_SLAB).transpose(
+            2, 3, 0, 1).reshape(J, S_SLAB, n)
+        z_buf = jnp.concatenate(
+            [z_buf, jnp.zeros((J, S_SLAB, R_T))], axis=2)
+        pw = self._pw(d)
+        diffs = jnp.concatenate(
+            [zf[:, 1:] - zf[:, :-1], jnp.zeros((n, 1))], axis=1)
+        dists = (diffs * jnp.linalg.norm(rd.astype(jnp.float32), axis=-1,
+                                         keepdims=True)).T
+        occ = np.zeros((T, J), np.int32)
+        occ[0, 1] = 1
+        occ[1, 0] = 1
+        t_i, j_i = np.nonzero(occ)
+        buf = pair_field_eval_perz(
+            pw, ro, rd, z_buf,
+            jnp.asarray(t_i, jnp.int32), jnp.asarray(j_i, jnp.int32),
+            interpret=True)
+        got = deferred_composite_head(buf, jnp.asarray(occ), dists, bc)
+        # reference: all pairs evaluated, composite masked the same way
+        ti_a, ji_a = self._all_pairs(T, J)
+        buf_a = pair_field_eval_perz(pw, ro, rd, z_buf, ti_a, ji_a,
+                                     interpret=True)
+        ref = deferred_composite_head(buf_a, jnp.asarray(occ), dists, bc)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)

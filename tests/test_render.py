@@ -105,3 +105,38 @@ class TestHierarchicalRenderer:
                      data["poses"][0], sig, data["bc_img"])
         assert out.shape == (24, 24, 3)
         assert bool(jnp.isfinite(out).all())
+
+
+class TestHierPairRenderer:
+    def test_pair_compacted_matches_predicated_fused(self, setup,
+                                                     monkeypatch):
+        """The pair-compacted hierarchical serving renderer
+        (_make_hier_pair_renderer) matches the predicated fused path on
+        the same flags/weights within the occupancy-skip error bound."""
+        monkeypatch.setenv("DFANERF_PALLAS_INTERPRET", "1")
+        import dataclasses
+
+        cfg, ds, state, data = setup
+        from dfanerf_tpu.render.renderer import make_head_hierarchical_renderer
+
+        kw = dict(n_samples=16, n_importance=16, use_fused_kernel=True,
+                  occ_sigma_thresh=0.05, occ_grid_res=16, ert_eps=0.0)
+        cfg_pred = dataclasses.replace(
+            cfg, render=dataclasses.replace(cfg.render, **kw))
+        cfg_pair = dataclasses.replace(
+            cfg, render=dataclasses.replace(
+                cfg.render, **kw, occ_pair_compaction=True))
+        sig = jnp.zeros((cfg.decoder.dim_signal,))
+        r_pred = make_head_hierarchical_renderer(cfg_pred, ds.hwfcxy,
+                                                 ds.near, ds.far)
+        r_pair = make_head_hierarchical_renderer(cfg_pair, ds.hwfcxy,
+                                                 ds.near, ds.far)
+        a = np.asarray(r_pred(state["params"], state["z_shape"],
+                              state["z_app"], data["poses"][0], sig,
+                              data["bc_img"]))
+        b = np.asarray(r_pair(state["params"], state["z_shape"],
+                              state["z_app"], data["poses"][0], sig,
+                              data["bc_img"]))
+        assert a.shape == b.shape == (24, 24, 3)
+        assert np.isfinite(b).all()
+        assert np.abs(a - b).max() < 0.02
