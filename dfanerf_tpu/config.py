@@ -135,6 +135,15 @@ class RenderConfig:
     # (~1 extra window) and is covered by the benchmarks'
     # max-error-vs-noskip discipline. Live mode only — pinned
     # refresh_union windows never refresh.
+    occ_pack2: bool = False  # pair-compaction at HALF-slab (4-sample)
+    # granularity with TWO pairs packed per kernel grid step
+    # (ops/fused_render.py pair2_field_eval_prepped): the finer flags
+    # skip ~18% more samples on the serving scene (surface boundaries
+    # quantize to 4 samples instead of 8) while each grid step keeps the
+    # measured 2048-row MXU sweet spot (a lone 4-sample pair is 1024
+    # rows — measured 8% SLOWER end to end). A/B pair partitions write
+    # separate buffer quartets merged by deferred_composite's disjoint
+    # masked sum. Only affects the occ_pair_compaction fast path.
     occ_union_window: bool = True  # conservative flags for a refresh
     # window: at each refresh the flags are the UNION over the window's
     # (pose, signal) pairs, so stale-flag error within the window is

@@ -531,6 +531,7 @@ def conservative_occupancy(
     sigma_thresh: float,
     grid_res: int = 64,
     act: str = "relu",
+    s_slab: int = None,
 ) -> jnp.ndarray:
     """Per-(field, tile, slab) occupancy flags for the fused kernel.
 
@@ -551,10 +552,11 @@ def conservative_occupancy(
     order. Returns [2, n_tiles, n_slabs] int32 (0=head, 1=torso).
     """
     S = z_vals.shape[0]
-    n_slabs = S // S_SLAB
+    sp = S_SLAB if s_slab is None else s_slab
+    n_slabs = S // sp
     z_ends = jnp.stack(
-        [z_vals.reshape(n_slabs, S_SLAB)[:, 0],
-         z_vals.reshape(n_slabs, S_SLAB)[:, -1]], axis=1
+        [z_vals.reshape(n_slabs, sp)[:, 0],
+         z_vals.reshape(n_slabs, sp)[:, -1]], axis=1
     )  # [J, 2]
 
     def corner_pts(ro, rd):
@@ -968,15 +970,17 @@ def _pair_field_kernel(
     w_out, b_out,
     d_w1, d_b1, d_wk, d_bk, d_wskip, d_bskip, d_wout, d_bout, sig_pad,
     sig_out, r_out, g_out, b_out_ref, *, branch: str, act: str = "relu",
+    sp: int = None,
 ):
-    rows = S_SLAB * R_T
+    sp = S_SLAB if sp is None else sp
+    rows = sp * R_T
 
     o = o_ref[:]
     d = d_ref[:]
     freq = freq_ref[:]
     ph = phase_ref[:]
     encs = []
-    for s in range(S_SLAB):
+    for s in range(sp):
         pts = o + d * z_ref[0, 0, s]
         encs.append(jnp.sin(pts * freq + ph))
     pe = jnp.concatenate(encs, axis=0).astype(jnp.bfloat16)
@@ -1009,7 +1013,7 @@ def _pair_field_kernel(
 
     sigma = density_act(sf[:, 0:1], act)
     vr = jnp.broadcast_to(
-        vr_ref[:][None], (S_SLAB, R_T, 256)
+        vr_ref[:][None], (sp, R_T, 256)
     ).reshape(rows, 256)
     net = jnp.maximum(sf[:, 128:384] + vr.astype(jnp.float32), 0.0)
     rgb = jax.nn.sigmoid(_mm(net.astype(jnp.bfloat16), w_out[:]) + b_out[:])
@@ -1022,10 +1026,10 @@ def _pair_field_kernel(
     # block cost ~10us/step of VPU shuffles.) rgb is stored bf16 (the
     # composite's precision contract keeps sigma/alphas fp32; colors are
     # sigmoid-bounded and bf16-safe), halving the buffer traffic.
-    sig_out[0] = sigma[:, 0].reshape(S_SLAB, R_T)
-    r_out[0] = rgb[:, 0].reshape(S_SLAB, R_T).astype(jnp.bfloat16)
-    g_out[0] = rgb[:, 1].reshape(S_SLAB, R_T).astype(jnp.bfloat16)
-    b_out_ref[0] = rgb[:, 2].reshape(S_SLAB, R_T).astype(jnp.bfloat16)
+    sig_out[0] = sigma[:, 0].reshape(sp, R_T)
+    r_out[0] = rgb[:, 0].reshape(sp, R_T).astype(jnp.bfloat16)
+    g_out[0] = rgb[:, 1].reshape(sp, R_T).astype(jnp.bfloat16)
+    b_out_ref[0] = rgb[:, 2].reshape(sp, R_T).astype(jnp.bfloat16)
 
 
 def pe_replicate(rays: jnp.ndarray) -> jnp.ndarray:
@@ -1058,6 +1062,7 @@ def pair_field_eval(
     j_idx: jnp.ndarray,
     interpret: bool = None,
     act: str = "relu",
+    s_slab: int = None,
 ) -> jnp.ndarray:
     """Evaluate one packed field on K occupied (tile, slab) pairs.
 
@@ -1072,8 +1077,8 @@ def pair_field_eval(
     """
     n = rays_o.shape[0]
     S = z_vals.shape[0]
-    assert S % S_SLAB == 0 and n % R_T == 0
-    n_slabs = S // S_SLAB
+    sp = S_SLAB if s_slab is None else s_slab
+    assert S % sp == 0 and n % R_T == 0
 
     o_r, d_r = pe_replicate(rays_o), pe_replicate(rays_d)
     # dummy tile row for padding pairs
@@ -1083,7 +1088,7 @@ def pair_field_eval(
     vr = jnp.concatenate([vr, jnp.zeros((R_T, 256), vr.dtype)])
     return pair_field_eval_prepped(pw, branch, o_r, d_r, vr, z_vals,
                                    t_idx, j_idx, interpret=_interp(interpret),
-                                   act=act)
+                                   act=act, s_slab=sp)
 
 
 def pair_field_eval_prepped(
@@ -1097,6 +1102,7 @@ def pair_field_eval_prepped(
     j_idx: jnp.ndarray,
     interpret: bool = None,
     act: str = "relu",
+    s_slab: int = None,
 ) -> jnp.ndarray:
     """pair_field_eval given pre-prepped operands (the serving fast path:
     pe_replicate / view_bias / the dummy row live in the caller's one
@@ -1104,21 +1110,22 @@ def pair_field_eval_prepped(
     kernel program). o_r/d_r [(n_tiles+1)*R_T, PE_PAD] fp32 (pe_replicate
     output + dummy tile row); vr [(n_tiles+1)*R_T, 256] bf16."""
     S = z_vals.shape[0]
-    assert S % S_SLAB == 0 and o_r.shape[0] % R_T == 0
-    n_slabs = S // S_SLAB
+    sp = S_SLAB if s_slab is None else s_slab
+    assert S % sp == 0 and o_r.shape[0] % R_T == 0
+    n_slabs = S // sp
     n_tiles = o_r.shape[0] // R_T - 1
     if t_idx.shape[0] == 0:
         # nothing occupied for this field this frame — the composite masks
         # every slab off, so any buffer contents work; zeros are cheapest
         return tuple(
-            jnp.zeros((n_slabs, S_SLAB, (n_tiles + 1) * R_T),
+            jnp.zeros((n_slabs, sp, (n_tiles + 1) * R_T),
                       jnp.float32 if c == 0 else jnp.bfloat16)
             for c in range(4)
         )
 
     freqs, phase = pe_freq_phase()
-    z_rows = jnp.zeros((n_slabs, 8, 128), jnp.float32).at[:, 0, :S_SLAB].set(
-        z_vals.astype(jnp.float32).reshape(n_slabs, S_SLAB)
+    z_rows = jnp.zeros((n_slabs, 8, 128), jnp.float32).at[:, 0, :sp].set(
+        z_vals.astype(jnp.float32).reshape(n_slabs, sp)
     )
 
     weight_ops = [
@@ -1158,23 +1165,210 @@ def pair_field_eval_prepped(
         ] + weight_specs,
         out_specs=tuple(
             pl.BlockSpec(
-                (1, S_SLAB, R_T), lambda k, ti, ji: (ji[k], 0, ti[k]),
+                (1, sp, R_T), lambda k, ti, ji: (ji[k], 0, ti[k]),
                 memory_space=pltpu.VMEM,
             ) for _ in range(4)
         ),
     )
     return pl.pallas_call(
-        functools.partial(_pair_field_kernel, branch=branch, act=act),
+        functools.partial(_pair_field_kernel, branch=branch, act=act,
+                          sp=sp),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct(
-                (n_slabs, S_SLAB, (n_tiles + 1) * R_T),
+                (n_slabs, sp, (n_tiles + 1) * R_T),
                 jnp.float32 if c == 0 else jnp.bfloat16,
             ) for c in range(4)
         ),
         interpret=_interp(interpret),
     )(t_idx.astype(jnp.int32), j_idx.astype(jnp.int32), z_rows,
       o_r, d_r, vr, freqs, phase, *weight_ops)
+
+
+def _pair2_field_kernel(
+    tA, jA, tB, jB, zA_ref, zB_ref, oA_ref, dA_ref, oB_ref, dB_ref,
+    vrA_ref, vrB_ref, freq_ref, phase_ref,
+    w_in, b_in, w_blocks, b_blocks, w_skip, b_skip, w_sf, b_sf,
+    w_out, b_out,
+    d_w1, d_b1, d_wk, d_bk, d_wskip, d_bskip, d_wout, d_bout, sig_pad,
+    sigA_out, rA_out, gA_out, bA_out,
+    sigB_out, rB_out, gB_out, bB_out,
+    *, branch: str, act: str = "relu", sp: int = 4,
+):
+    """_pair_field_kernel evaluating TWO (tile, slab) pairs per grid step.
+
+    At sp=4 a single pair is only 1024 MXU rows — half the measured
+    2048-row sweet spot — so the kernel batches pair 2k (the "A" slot)
+    and pair 2k+1 ("B") through one shared trunk: finer slab granularity
+    (the occupancy flags skip ~18% more samples at sp=4 on the serving
+    scene) at full matmul width. A-slot outputs land in their own buffer
+    quartet, B in another; the (tile, slab) partitions are disjoint by
+    construction, so deferred_composite merges them with a masked sum.
+    """
+    half = sp * R_T
+
+    freq = freq_ref[:]
+    ph = phase_ref[:]
+    encs = []
+    for o_ref, d_ref, z_ref in ((oA_ref, dA_ref, zA_ref),
+                                (oB_ref, dB_ref, zB_ref)):
+        o = o_ref[:]
+        d = d_ref[:]
+        for s in range(sp):
+            pts = o + d * z_ref[0, 0, s]
+            encs.append(jnp.sin(pts * freq + ph))
+    pe = jnp.concatenate(encs, axis=0).astype(jnp.bfloat16)
+
+    if branch == "torso":
+        dh = jnp.maximum(_mm(pe, d_w1[:]) + d_b1[:],
+                         0.0).astype(jnp.bfloat16)
+        for i in range(4):
+            dh = jnp.maximum(_mm(dh, d_wk[i]) + d_bk[i], 0.0)
+            if i == 2:
+                dh = dh + _mm(pe, d_wskip[:]) + d_bskip[:]
+            dh = dh.astype(jnp.bfloat16)
+        d_out = _mm(dh, d_wout[:]) + d_bout[:]
+        pe128 = jnp.concatenate([pe.astype(jnp.float32),
+                                 jnp.zeros_like(pe, jnp.float32)],
+                                axis=-1)
+        pe = (d_out + sig_pad[:] + pe128).astype(jnp.bfloat16)
+    h = jnp.maximum(_mm(pe, w_in[:]) + b_in[:], 0.0).astype(jnp.bfloat16)
+    for i in range(7):
+        h = jnp.maximum(_mm(h, w_blocks[i]) + b_blocks[i], 0.0)
+        if i == 3:
+            h = h + _mm(pe, w_skip[:]) + b_skip[:]
+        h = h.astype(jnp.bfloat16)
+    sf = _mm(h, w_sf[:]) + b_sf[:]  # [2*half, 384] f32
+
+    sigma = density_act(sf[:, 0:1], act)
+    vr = jnp.concatenate([
+        jnp.broadcast_to(r[:][None], (sp, R_T, 256)).reshape(half, 256)
+        for r in (vrA_ref, vrB_ref)
+    ], axis=0)
+    net = jnp.maximum(sf[:, 128:384] + vr.astype(jnp.float32), 0.0)
+    rgb = jax.nn.sigmoid(_mm(net.astype(jnp.bfloat16), w_out[:]) + b_out[:])
+
+    sigA_out[0] = sigma[:half, 0].reshape(sp, R_T)
+    rA_out[0] = rgb[:half, 0].reshape(sp, R_T).astype(jnp.bfloat16)
+    gA_out[0] = rgb[:half, 1].reshape(sp, R_T).astype(jnp.bfloat16)
+    bA_out[0] = rgb[:half, 2].reshape(sp, R_T).astype(jnp.bfloat16)
+    sigB_out[0] = sigma[half:, 0].reshape(sp, R_T)
+    rB_out[0] = rgb[half:, 0].reshape(sp, R_T).astype(jnp.bfloat16)
+    gB_out[0] = rgb[half:, 1].reshape(sp, R_T).astype(jnp.bfloat16)
+    bB_out[0] = rgb[half:, 2].reshape(sp, R_T).astype(jnp.bfloat16)
+
+
+def pair2_field_eval_prepped(
+    pw: Dict[str, jnp.ndarray],
+    branch: str,
+    o_r: jnp.ndarray,
+    d_r: jnp.ndarray,
+    vr: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    tA: jnp.ndarray,
+    jA: jnp.ndarray,
+    tB: jnp.ndarray,
+    jB: jnp.ndarray,
+    interpret: bool = None,
+    act: str = "relu",
+    s_slab: int = 4,
+) -> Tuple[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]]:
+    """Packed-2 pair evaluation (see _pair2_field_kernel): the A pair
+    list (tA, jA) and B list (tB, jB) must be equal-length DISJOINT
+    partitions of the field's occupied pairs (padding pairs target the
+    dummy tile row). Returns (bufs_A, bufs_B) — two pair_field_eval-style
+    channel quartets; composite with deferred_composite(..., buf_?2=,
+    occ2=) using the matching flag partitions."""
+    S = z_vals.shape[0]
+    sp = s_slab
+    assert S % sp == 0 and o_r.shape[0] % R_T == 0
+    assert tA.shape == tB.shape and jA.shape == jB.shape
+    n_slabs = S // sp
+    n_tiles = o_r.shape[0] // R_T - 1
+    if tA.shape[0] == 0:
+        return tuple(
+            tuple(
+                jnp.zeros((n_slabs, sp, (n_tiles + 1) * R_T),
+                          jnp.float32 if c == 0 else jnp.bfloat16)
+                for c in range(4)
+            ) for _ in range(2)
+        )
+
+    freqs, phase = pe_freq_phase()
+    z_rows = jnp.zeros((n_slabs, 8, 128), jnp.float32).at[:, 0, :sp].set(
+        z_vals.astype(jnp.float32).reshape(n_slabs, sp)
+    )
+
+    weight_ops = [
+        pw["w_in"], pw["b_in"][None], pw["w_blocks"], pw["b_blocks"],
+        pw["w_skip"], pw["b_skip"][None], pw["w_sf"], pw["b_sf"][None],
+        pw["w_out"], pw["b_out"][None],
+    ]
+    if branch == "torso":
+        weight_ops += [
+            pw["d_w1"], pw["d_b1"][None], pw["d_wk"], pw["d_bk"],
+            pw["d_wskip"], pw["d_bskip"][None], pw["d_wout"],
+            pw["d_bout"][None], pw["sig_pad"][None],
+        ]
+    else:
+        zero = jnp.zeros((1, 1), jnp.bfloat16)
+        weight_ops += [zero] * 9
+    weight_specs = [_full(op.shape) for op in weight_ops]
+
+    def zspec(which):
+        return pl.BlockSpec(
+            (1, 8, 128),
+            (lambda k, ta, ja, tb, jb: (ja[k], 0, 0)) if which == 0
+            else (lambda k, ta, ja, tb, jb: (jb[k], 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    def rspec(width, which):
+        return pl.BlockSpec(
+            (R_T, width),
+            (lambda k, ta, ja, tb, jb: (ta[k], 0)) if which == 0
+            else (lambda k, ta, ja, tb, jb: (tb[k], 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    def ospec(which):
+        return pl.BlockSpec(
+            (1, sp, R_T),
+            (lambda k, ta, ja, tb, jb: (ja[k], 0, ta[k])) if which == 0
+            else (lambda k, ta, ja, tb, jb: (jb[k], 0, tb[k])),
+            memory_space=pltpu.VMEM,
+        )
+
+    const = lambda k, ta, ja, tb, jb: (0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # tA, jA, tB, jB
+        grid=(tA.shape[0],),
+        in_specs=[
+            zspec(0), zspec(1),
+            rspec(PE_PAD, 0), rspec(PE_PAD, 0),
+            rspec(PE_PAD, 1), rspec(PE_PAD, 1),
+            rspec(256, 0), rspec(256, 1),
+            pl.BlockSpec((1, PE_PAD), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PE_PAD), const, memory_space=pltpu.VMEM),
+        ] + weight_specs,
+        out_specs=tuple(ospec(0) for _ in range(4))
+        + tuple(ospec(1) for _ in range(4)),
+    )
+    outs = pl.pallas_call(
+        functools.partial(_pair2_field_kernel, branch=branch, act=act,
+                          sp=sp),
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(
+                (n_slabs, sp, (n_tiles + 1) * R_T),
+                jnp.float32 if c % 4 == 0 else jnp.bfloat16,
+            ) for c in range(8)
+        ),
+        interpret=_interp(interpret),
+    )(tA.astype(jnp.int32), jA.astype(jnp.int32),
+      tB.astype(jnp.int32), jB.astype(jnp.int32), z_rows, z_rows,
+      o_r, d_r, o_r, d_r, vr, vr, freqs, phase, *weight_ops)
+    return outs[:4], outs[4:]
 
 
 def _far_kernel(
@@ -1502,6 +1696,10 @@ def deferred_composite(
     rays_d_t: jnp.ndarray,
     z_vals: jnp.ndarray,
     with_diagnostics: bool = True,
+    buf_h2: jnp.ndarray = None,
+    buf_t2: jnp.ndarray = None,
+    occ2: jnp.ndarray = None,
+    s_slab: int = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """Composite two pair_field_eval buffers — the same per-sample math as
     _render_kernel's in-register march (bg_epilogue mode: the catch-all
@@ -1539,13 +1737,14 @@ def deferred_composite(
     n = rays_d.shape[0]
     S = z_vals.shape[0]
     T = n // R_T
+    sp = S_SLAB if s_slab is None else s_slab
 
     def unpack(bufs, occ_f):
-        # [S, n] per channel; flag [T, J] -> [J, S_SLAB, T, R_T] broadcast
+        # [S, n] per channel; flag [T, J] -> [J, sp, T, R_T] broadcast
         flag = occ_f.astype(bool).T[:, None, :, None]
 
         def chan(buf):
-            x = buf.reshape(J, S_SLAB, NT // R_T, R_T)[:, :, :T]
+            x = buf.reshape(J, sp, NT // R_T, R_T)[:, :, :T]
             x = jnp.where(flag, x.astype(jnp.float32), 0.0)
             return x.reshape(S, n)
 
@@ -1555,6 +1754,17 @@ def deferred_composite(
 
     sig_h, rgb_h = unpack(buf_h, occ[0])
     sig_t, rgb_t = unpack(buf_t, occ[1])
+    if buf_h2 is not None:
+        # packed-2 kernels split each field's pairs over two buffers
+        # (grid-step slots write disjoint (tile, slab) blocks); the flag
+        # partition occ/occ2 makes the masked unpacks disjoint, so a sum
+        # merges them exactly
+        s_h2, r_h2 = unpack(buf_h2, occ2[0])
+        s_t2, r_t2 = unpack(buf_t2, occ2[1])
+        sig_h = sig_h + s_h2
+        sig_t = sig_t + s_t2
+        rgb_h = tuple(a + b for a, b in zip(rgb_h, r_h2))
+        rgb_t = tuple(a + b for a, b in zip(rgb_t, r_t2))
 
     # bg-epilogue-mode dists: tail 0 (the catch-all sample is external)
     diffs = jnp.concatenate(
@@ -1578,7 +1788,7 @@ def deferred_composite(
         t_prev = jnp.concatenate([jnp.ones((1, n)), t[:-1]], axis=0)
         w = alpha * t_prev
         acc = jnp.stack([(w * c).sum(axis=0) for c in colors], axis=-1)
-        return acc, t[-1:].T, t_prev[0:S:S_SLAB], w
+        return acc, t[-1:].T, t_prev[0:S:sp], w
 
     alpha_h = 1.0 - jnp.exp(-(sig_h + 1e-6) * d_h)
     acc_head, tl_h, starts_h, w_h = march(alpha_h, rgb_h)
@@ -1603,7 +1813,7 @@ def deferred_composite(
         return starts.reshape(J, T, R_T).max(axis=2).T
 
     def tile_contrib(w):  # [S, n] -> [T, J]: max-ray summed slab weight
-        return w.reshape(J, S_SLAB, T, R_T).sum(axis=1).max(axis=2).T
+        return w.reshape(J, sp, T, R_T).sum(axis=1).max(axis=2).T
 
     frac_h = sig_h / denom
     contrib_h = tile_contrib(w_h + w_c * frac_h)

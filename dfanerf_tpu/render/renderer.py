@@ -500,8 +500,8 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
     from dfanerf_tpu.ops.fused_render import (
         R_T, S_SLAB, bg_blend, conservative_occupancy,
         deferred_composite, fused_far_eval_split,
-        fused_far_eval_split_prepped, pair_field_eval,
-        pair_field_eval_prepped, pe_replicate, view_bias,
+        fused_far_eval_split_prepped, pair2_field_eval_prepped,
+        pair_field_eval, pair_field_eval_prepped, pe_replicate, view_bias,
     )
     from dfanerf_tpu.ops.pack import pack_field_weights
 
@@ -511,7 +511,10 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
            else jnp.float32)
 
     T = len(perm) // R_T
-    J = rcfg.n_samples // S_SLAB
+    # slab granularity: 4-sample half-slabs under occ_pack2 (see config)
+    sp = 4 if rcfg.occ_pack2 else S_SLAB
+    assert rcfg.n_samples % sp == 0
+    J = rcfg.n_samples // sp
 
     inputs_fn = jax.jit(frame_inputs)
 
@@ -521,6 +524,7 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         return conservative_occupancy(
             pw_h, pw_t, ro, rd, ro_t, rd_t, z_vals_c,
             rcfg.occ_sigma_thresh, grid_res=rcfg.occ_grid_res, act=act,
+            s_slab=sp,
         )  # [2, T, J]
 
     kernel_cache = {}
@@ -529,7 +533,7 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         @jax.jit
         def kern(pw, ro, rd, t_idx, j_idx):
             return pair_field_eval(pw, branch, ro, rd, z_vals_c,
-                                   t_idx, j_idx, act=act)
+                                   t_idx, j_idx, act=act, s_slab=sp)
 
         return kern
 
@@ -560,12 +564,13 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
     def composite_fn(rd_g, rd_t_g, buf_h, buf_t, occ_sub):
         # per-frame serving composite: no [T, J] prune diagnostics
         return deferred_composite(buf_h, buf_t, occ_sub, rd_g, rd_t_g,
-                                  z_vals_c, with_diagnostics=False)
+                                  z_vals_c, with_diagnostics=False,
+                                  s_slab=sp)
 
     @jax.jit
     def composite_diag_fn(rd_g, rd_t_g, buf_h, buf_t, occ_sub):
         return deferred_composite(buf_h, buf_t, occ_sub, rd_g, rd_t_g,
-                                  z_vals_c)
+                                  z_vals_c, s_slab=sp)
 
     @jax.jit
     def blend_fn(inputs, far_vals, ah, ac, t_h, t_c, tiles_scatter):
@@ -677,12 +682,35 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         occ_sub = occ_np[:, tiles_pad, :]
         occ_sub[:, len(tiles_u):] = 0
         lists = []
+        lists2 = []
+        occ_a = np.zeros_like(occ_sub)
+        occ_b = np.zeros_like(occ_sub)
         for f in range(2):
             t_i, j_i = np.nonzero(occ_np[f])
             order = np.lexsort((j_i, t_i))  # tile-major: consecutive pairs
             # of one tile reuse the same ray blocks without a re-fetch
             t_i, j_i = t_i[order], j_i[order]
             t_i = pos_of[t_i]  # compacted tile coordinates
+            if rcfg.occ_pack2:
+                # disjoint A/B partitions for the packed-2 kernel (the
+                # even/odd split of the tile-major order keeps both slots
+                # of a grid step usually on the same or adjacent tiles)
+                tA, jA = t_i[0::2], j_i[0::2]
+                tB, jB = t_i[1::2], j_i[1::2]
+                occ_a[f][tA, jA] = occ_sub[f][tA, jA]
+                occ_b[f][tB, jB] = occ_sub[f][tB, jB]
+                kb = bucket(len(tA))
+                def _pad(t, j, kb=kb):
+                    return (
+                        np.concatenate(
+                            [t, np.full(kb - len(t), k_u)]).astype(np.int32),
+                        np.concatenate(
+                            [j, np.zeros(kb - len(j))]).astype(np.int32),
+                    )
+                tA, jA = _pad(tA, jA)
+                tB, jB = _pad(tB, jB)
+                lists2.append(tuple(
+                    jnp.asarray(x) for x in (tA, jA, tB, jB)))
             pad = bucket(len(t_i)) - len(t_i)
             t_i = np.concatenate([t_i, np.full(pad, k_u)]).astype(np.int32)
             j_i = np.concatenate([j_i, np.zeros(pad)]).astype(np.int32)
@@ -693,6 +721,9 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             occ_sub=jnp.asarray(occ_sub),
             tiles_scatter=jnp.asarray(tiles_scatter),
         )
+        if rcfg.occ_pack2:
+            st.update(lists2=lists2, occ_sub_a=jnp.asarray(occ_a),
+                      occ_sub_b=jnp.asarray(occ_b))
 
     def run_pipeline(inputs, diag=False, st=None):
         """Gather occupied tiles + kernels + compacted composite + full-
@@ -755,7 +786,8 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         return keep_h, keep_t
 
     _SLOT_KEYS = ("lists", "occ", "tiles_u", "tiles_sel", "occ_sub",
-                  "tiles_scatter", "far_skip", "far_cmix_err")
+                  "tiles_scatter", "far_skip", "far_cmix_err",
+                  "lists2", "occ_sub_a", "occ_sub_b")
 
     def refresh_union(window_inputs, per_slot=False):
         """Serving prep over a window of prepped frame inputs (each an
@@ -881,6 +913,24 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         kernels + the two far kernels) — nothing else in it, per the
         composed-program kernel-fault rule. with_far=False when the
         catch-all is elided (far_skip)."""
+        if rcfg.occ_pack2:
+            @jax.jit
+            def kern2(pw_h, pw_t, oh, dh, vh, ot, dt, vt, lh, lt, ph, pt,
+                      vrtf):
+                buf_h = pair2_field_eval_prepped(
+                    pw_h, "head", oh, dh, vh, z_vals_c, *lh, act=act,
+                    s_slab=sp)
+                buf_t = pair2_field_eval_prepped(
+                    pw_t, "torso", ot, dt, vt, z_vals_c, *lt, act=act,
+                    s_slab=sp)
+                if not with_far:
+                    return buf_h, buf_t, None
+                far_vals = fused_far_eval_split_prepped(pw_h, pw_t, ph, pt,
+                                                        vrtf, act=act)
+                return buf_h, buf_t, far_vals
+
+            return kern2
+
         @jax.jit
         def kern2(pw_h, pw_t, oh, dh, vh, ot, dt, vt, ti_h, ji_h,
                   ti_t, ji_t, ph, pt, vrtf):
@@ -901,9 +951,18 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
     def make_finish(with_far):
         def body(rd_g, rd_t_g, buf_h, buf_t, occ_sub, rd, rd_t, bc_p,
                  tiles_scatter, far_vals=None):
-            ah, ac, t_h, t_c = deferred_composite(
-                buf_h, buf_t, occ_sub, rd_g, rd_t_g, z_vals_c,
-                with_diagnostics=False)
+            if rcfg.occ_pack2:
+                # occ_sub is the (A, B) flag-partition pair; the buffers
+                # are (bufs_A, bufs_B) pairs from the packed-2 kernel
+                occ_a, occ_b = occ_sub
+                ah, ac, t_h, t_c = deferred_composite(
+                    buf_h[0], buf_t[0], occ_a, rd_g, rd_t_g, z_vals_c,
+                    with_diagnostics=False, buf_h2=buf_h[1],
+                    buf_t2=buf_t[1], occ2=occ_b, s_slab=sp)
+            else:
+                ah, ac, t_h, t_c = deferred_composite(
+                    buf_h, buf_t, occ_sub, rd_g, rd_t_g, z_vals_c,
+                    with_diagnostics=False)
             n = T * R_T
 
             def scatter(x, fill):
@@ -951,24 +1010,34 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
          rd, rd_t, bc_p) = prep_cache[k_u](
             params, z_shape, z_app, pose, pose_torso, signal,
             signal_torso, bc_img, st["tiles_sel"])
-        ti_h, ji_h = st["lists"][0]
-        ti_t, ji_t = st["lists"][1]
         far_skip = bool(st.get("far_skip", False))
-        ck = (int(ti_h.shape[0]), int(ti_t.shape[0]), k_u, far_skip)
-        if ck not in kern2_cache:
-            kern2_cache[ck] = make_kern2(not far_skip)
-        buf_h, buf_t, far_vals = kern2_cache[ck](
-            pw_h, pw_t, oh, dh, vh, ot, dt, vt, ti_h, ji_h, ti_t, ji_t,
-            ph, pt, vrtf)
+        if rcfg.occ_pack2:
+            lh, lt = st["lists2"]
+            ck = (int(lh[0].shape[0]), int(lt[0].shape[0]), k_u, far_skip)
+            if ck not in kern2_cache:
+                kern2_cache[ck] = make_kern2(not far_skip)
+            buf_h, buf_t, far_vals = kern2_cache[ck](
+                pw_h, pw_t, oh, dh, vh, ot, dt, vt, lh, lt, ph, pt, vrtf)
+            occ_sub = (st["occ_sub_a"], st["occ_sub_b"])
+        else:
+            ti_h, ji_h = st["lists"][0]
+            ti_t, ji_t = st["lists"][1]
+            ck = (int(ti_h.shape[0]), int(ti_t.shape[0]), k_u, far_skip)
+            if ck not in kern2_cache:
+                kern2_cache[ck] = make_kern2(not far_skip)
+            buf_h, buf_t, far_vals = kern2_cache[ck](
+                pw_h, pw_t, oh, dh, vh, ot, dt, vt, ti_h, ji_h, ti_t,
+                ji_t, ph, pt, vrtf)
+            occ_sub = st["occ_sub"]
         fk = (far_skip, k_u)
         if fk not in finish_cache:
             finish_cache[fk] = make_finish(not far_skip)
         if far_skip:
             return finish_cache[fk](rd_g, rd_t_g, buf_h, buf_t,
-                                    st["occ_sub"], rd, rd_t, bc_p,
+                                    occ_sub, rd, rd_t, bc_p,
                                     st["tiles_scatter"])
         return finish_cache[fk](rd_g, rd_t_g, buf_h, buf_t,
-                                st["occ_sub"], far_vals, rd, rd_t,
+                                occ_sub, far_vals, rd, rd_t,
                                 bc_p, st["tiles_scatter"])
 
     # ---------------- async (double-buffered) live refresh ----------------
@@ -1118,7 +1187,10 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         k_u = int(st["tiles_sel"].shape[0])
         if k_u not in prep_cache:
             prep_cache[k_u] = make_prep()
-        ti_h, ti_t = st["lists"][0][0], st["lists"][1][0]
+        if rcfg.occ_pack2:
+            ti_h, ti_t = st["lists2"][0][0], st["lists2"][1][0]
+        else:
+            ti_h, ti_t = st["lists"][0][0], st["lists"][1][0]
         far_skip = bool(st.get("far_skip", False))
         ck = (int(ti_h.shape[0]), int(ti_t.shape[0]), k_u, far_skip)
         if ck not in kern2_cache:
@@ -1442,6 +1514,77 @@ def _make_hier_pair_renderer(cfg: ExperimentConfig, hwfcxy, near: float,
                     grid_res=rcfg.occ_grid_res, sat_cache=(sat, lo, span),
                     act=act,
                 )
+                # The geometric flags have no notion of visibility, and the
+                # sorted union's index-slabs hug the surface (tight AABBs),
+                # so nearly every union-tile slab tests occupied. Two
+                # coarse-march prunes (the fine-pass analogue of the
+                # serving path's occ_prune_* levers; VERDICT r3 #3):
+                #  - transmittance: drop fine slabs whose tile-max coarse
+                #    transmittance at the slab's earliest depth is below
+                #    occ_prune_trans (everything behind the saturated
+                #    surface; T_prev = 1 - cumsum(weights) exactly);
+                #  - contribution: drop whole tiles whose max-ray summed
+                #    coarse weight (catch-all excluded) is below
+                #    occ_prune_contrib — conservative-dilation tiles where
+                #    the coarse march found nothing render as background.
+                # Both are tile-max/min bounds (conservative across the
+                # tile's rays); realized error is covered by the
+                # benchmarks' max-error-vs-noskip discipline.
+                if rcfg.occ_prune_trans > 0:
+                    t_prev = 1.0 - jnp.concatenate(
+                        [jnp.zeros((n_u, 1)),
+                         jnp.cumsum(weights, axis=1)[:, :-1]], axis=1)
+                    t_tile = t_prev.reshape(k_u, R_T, S_c).max(1)
+                    z0 = z_fine[:, ::S_SLAB]
+                    z0_tile = z0.reshape(k_u, R_T, J_f).min(1)
+                    # T at the first coarse sample >= z0 (T is monotone
+                    # decreasing, so a masked max selects exactly it)
+                    t_at = jnp.where(
+                        z_c[None, None, :] >= z0_tile[:, :, None],
+                        t_tile[:, None, :], 0.0,
+                    ).max(-1)
+                    occ_f = occ_f * (t_at > rcfg.occ_prune_trans)
+                if rcfg.occ_prune_contrib > 0:
+                    # per-(tile, slab) coarse-mass prune: the compositing
+                    # mass the coarse march found inside the fine slab's
+                    # z-range (catch-all weight excluded) bounds what the
+                    # fine march can composite there. Mass is distributed
+                    # piecewise-uniformly over each coarse bin
+                    # [z_k, z_{k+1}] (the same CDF model sample_pdf
+                    # inverts) — an importance-cluster slab NARROWER than
+                    # the coarse spacing then gets its overlap fraction of
+                    # the surface bin's weight, not a spurious zero.
+                    # Tile-max over rays keeps the bound conservative per
+                    # tile. The drop is BUDGETED, not thresholded: a
+                    # per-slab threshold lets J_f individually-small slabs
+                    # lose O(J_f * eps) total mass (measured 0.025 at
+                    # eps=3e-3); instead drop the largest set of
+                    # smallest-mass slabs whose summed tile-max mass stays
+                    # under occ_prune_contrib, so the realized per-tile
+                    # composite error is bounded by the budget itself.
+                    w_bins = weights[:, :-1]  # [n_u, S_c-1] bin weights
+                    z_lo_s = z_fine[:, ::S_SLAB]          # [n_u, J_f]
+                    z_hi_s = z_fine[:, S_SLAB - 1::S_SLAB]
+                    zb0, zb1 = z_c[:-1], z_c[1:]
+                    ov = (jnp.minimum(z_hi_s[:, :, None], zb1[None, None])
+                          - jnp.maximum(z_lo_s[:, :, None],
+                                        zb0[None, None]))
+                    frac = jnp.clip(
+                        ov / (zb1 - zb0)[None, None], 0.0, 1.0)
+                    mass = (w_bins[:, None, :] * frac).sum(-1)  # [n_u,J_f]
+                    mass_tile = mass.reshape(k_u, R_T, J_f).max(1)
+                    # already-dropped slabs (geometric miss / trans prune)
+                    # must not eat the budget
+                    mass_tile = jnp.where(occ_f > 0, mass_tile, 0.0)
+                    order = jnp.argsort(mass_tile, axis=1)
+                    cum = jnp.cumsum(
+                        jnp.take_along_axis(mass_tile, order, axis=1),
+                        axis=1)
+                    drop = jnp.zeros(
+                        (k_u, J_f), bool
+                    ).at[jnp.arange(k_u)[:, None], order].set(
+                        cum <= rcfg.occ_prune_contrib)
+                    occ_f = occ_f * (~drop)
                 zf = z_fine.astype(jnp.float32)
                 z_buf = zf.reshape(k_u, R_T, J_f, S_SLAB).transpose(
                     2, 3, 0, 1).reshape(J_f, S_SLAB, n_u)
@@ -1489,7 +1632,7 @@ def _make_hier_pair_renderer(cfg: ExperimentConfig, hwfcxy, near: float,
     tile_ladder = [k for k in (64, 128, 192, 256, 320, 416, 512, 672)
                    if k < T] + [T]
     pair_ladder = ([0, 128, 256] + list(range(320, 2049, 64))
-                   + [2560, 3072, 4096, 6144, T * J_f])
+                   + list(range(2304, 8193, 256)) + [T * J_f])
 
     def bucket(c, ladder):
         return next(b for b in ladder if b >= c)
@@ -1507,10 +1650,24 @@ def _make_hier_pair_renderer(cfg: ExperimentConfig, hwfcxy, near: float,
         return jnp.asarray(t_i), jnp.asarray(j_i)
 
     def render(params, z_shape, z_app, pose, signal, bc_img):
+        trace = []
+        if os.environ.get("DFANERF_DEBUG_HIER_T"):
+            import time as _time
+
+            def _mark(tag, out):
+                jax.block_until_ready(out)
+                trace.append((tag, _time.time()))
+
+            _mark("start", ())
+        else:
+            def _mark(tag, out):
+                pass
         pw, ro, rd, bc_p = prep_fn(params, z_shape, z_app, pose, signal,
                                    bc_img)
+        _mark("prep", bc_p)
         occ_c, (sat, lo, span) = coarse_flags_fn(pw, ro, rd)
         occ_c_np = np.asarray(occ_c)  # host sync ~7 KB
+        _mark("coarse_flags", occ_c_np)
         tiles_u = np.nonzero(occ_c_np.max(axis=1))[0]
         if len(tiles_u) == 0:
             # nothing occupied anywhere: every ray is t=1 background
@@ -1527,15 +1684,31 @@ def _make_hier_pair_renderer(cfg: ExperimentConfig, hwfcxy, near: float,
         ro_g, rd_g, bc_g = get_gather(k_u)(ro, rd, bc_p, tiles_sel_d)
         sig_buf = get_sigma(int(ti_c.shape[0]), k_u)(
             pw, ro_g, rd_g, ti_c, ji_c)
+        _mark("sigma_kernel", sig_buf)
         z_buf, dists, occ_f = get_resample(k_u)(
             pw, ro_g, rd_g, sig_buf, jnp.asarray(occ_sub), sat, lo, span)
         occ_f_np = np.array(occ_f)  # host sync ~20 KB (writable copy)
+        _mark("resample", occ_f_np)
         occ_f_np[len(tiles_u):] = 0
         ti_f, ji_f = pair_list(occ_f_np, k_u)
+        if os.environ.get("DFANERF_DEBUG_HIER"):
+            print(f"[hier] tiles_u={len(tiles_u)} k_u={k_u} "
+                  f"coarse_pairs={int(occ_sub.sum())} "
+                  f"fine_pairs={int(occ_f_np.sum())} "
+                  f"(buckets {int(ti_c.shape[0])}/{int(ti_f.shape[0])})",
+                  flush=True)
         buf = get_fine(int(ti_f.shape[0]), k_u)(
             pw, ro_g, rd_g, z_buf, ti_f, ji_f)
-        return get_finish(k_u)(buf, jnp.asarray(occ_f_np), dists, bc_g,
-                               bc_p, jnp.asarray(tiles_scatter))
+        _mark("fine_kernel", buf)
+        out = get_finish(k_u)(buf, jnp.asarray(occ_f_np), dists, bc_g,
+                              bc_p, jnp.asarray(tiles_scatter))
+        if trace:
+            _mark("finish", out)
+            msg = " ".join(
+                f"{tag}={1e3 * (t1 - t0):.1f}ms"
+                for (_, t0), (tag, t1) in zip(trace, trace[1:]))
+            print(f"[hier:t] {msg}", flush=True)
+        return out
 
     return render
 

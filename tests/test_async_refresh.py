@@ -102,6 +102,30 @@ class TestAsyncRefresh:
             err = np.abs(o - ref_out[j % 6]).max()
             assert err < 0.05, f"frame {j}: async skip error {err}"
 
+    def test_pack2_matches_noskip(self, setup, monkeypatch):
+        """occ_pack2 (half-slab granularity, two pairs per kernel step,
+        A/B buffer merge) serves frames within the skip-lever error bound
+        of the no-skip fused render, through refreshes."""
+        monkeypatch.setenv("DFANERF_PALLAS_INTERPRET", "1")
+        cfg0, ds, state, data = setup
+        sig = jnp.zeros((cfg0.decoder.dim_signal,))
+        sig_t = jnp.zeros((cfg0.decoder.dim_et_embed,))
+        cfg_noskip = _render_cfg(cfg0, n_samples=16, use_fused_kernel=True,
+                                 spatial_tiles=True, ert_eps=0.0)
+        ref = make_frame_renderer(cfg_noskip, ds.hwfcxy, ds.near, ds.far)
+        ref_out = _frames(ref, state, data, sig, sig_t, 5)
+        cfg_p2 = _render_cfg(
+            cfg0, n_samples=16, use_fused_kernel=True, spatial_tiles=True,
+            occ_sigma_thresh=0.05, occ_grid_res=16, occ_refresh_every=2,
+            occ_pair_compaction=True, occ_pack2=True,
+            occ_prune_contrib=1e-4, ert_eps=0.0)
+        render = make_frame_renderer(cfg_p2, ds.hwfcxy, ds.near, ds.far)
+        outs = _frames(render, state, data, sig, sig_t, 5)
+        for j, o in enumerate(outs):
+            assert np.isfinite(o).all()
+            err = np.abs(o - ref_out[j]).max()
+            assert err < 0.05, f"frame {j}: pack2 skip error {err}"
+
     def test_async_off_is_sync_path(self, setup, monkeypatch):
         """Without occ_async_refresh the renderer keeps the synchronous
         refresh semantics (age-gated, blocking) — guard that the async

@@ -441,6 +441,68 @@ class TestPairCompaction:
         np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_r), atol=3e-4)
         np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_r), atol=3e-4)
 
+    def test_packed2_matches_single_pair_kernel(self, setup):
+        """The packed-2 kernel (two sp=4 (tile, slab) pairs per grid step,
+        A/B output buffers) composites to the same image as the single-
+        pair kernel run over the full sp=4 pair list."""
+        from dfanerf_tpu.ops.fused_render import (
+            PE_PAD, R_T, deferred_composite, pair2_field_eval_prepped,
+            pair_field_eval, pe_replicate, view_bias,
+        )
+
+        d = setup
+        n = 512
+        ro, rd, ro_t, rd_t, bc = self._rays(d, n)
+        z = d["z_vals1"]
+        pw_h, pw_t = self._packed(d)
+        sp = 4
+        J2 = z.shape[0] // sp
+        rng = np.random.RandomState(1)
+        occ = (rng.rand(2, n // R_T, J2) < 0.7).astype(np.int32)
+
+        def single(pw, branch, o, di, f):
+            t_i, j_i = np.nonzero(f)
+            return pair_field_eval(
+                pw, branch, o, di, z, jnp.asarray(t_i, jnp.int32),
+                jnp.asarray(j_i, jnp.int32), interpret=True, s_slab=sp)
+
+        ref = deferred_composite(
+            single(pw_h, "head", ro, rd, occ[0]),
+            single(pw_t, "torso", ro_t, rd_t, occ[1]),
+            jnp.asarray(occ), rd, rd_t, z, with_diagnostics=False,
+            s_slab=sp)
+
+        occA, occB = np.zeros_like(occ), np.zeros_like(occ)
+        bufs2 = []
+        for f, pw, branch, o, di in ((0, pw_h, "head", ro, rd),
+                                     (1, pw_t, "torso", ro_t, rd_t)):
+            t_i, j_i = np.nonzero(occ[f])
+            tA, jA = t_i[0::2], j_i[0::2]
+            tB, jB = t_i[1::2], j_i[1::2]
+            occA[f][tA, jA] = 1
+            occB[f][tB, jB] = 1
+            if len(tB) < len(tA):  # pad B with a dummy-tile pair
+                tB = np.concatenate([tB, [n // R_T]])
+                jB = np.concatenate([jB, [0]])
+            o_r = jnp.concatenate([pe_replicate(o),
+                                   jnp.zeros((R_T, PE_PAD))])
+            d_r = jnp.concatenate([pe_replicate(di),
+                                   jnp.zeros((R_T, PE_PAD))])
+            vr = jnp.concatenate([view_bias(pw, di).astype(jnp.bfloat16),
+                                  jnp.zeros((R_T, 256), jnp.bfloat16)])
+            bufs2.append(pair2_field_eval_prepped(
+                pw, branch, o_r, d_r, vr, z,
+                jnp.asarray(tA, jnp.int32), jnp.asarray(jA, jnp.int32),
+                jnp.asarray(tB, jnp.int32), jnp.asarray(jB, jnp.int32),
+                interpret=True, s_slab=sp))
+        out = deferred_composite(
+            bufs2[0][0], bufs2[1][0], jnp.asarray(occA), rd, rd_t, z,
+            with_diagnostics=False, buf_h2=bufs2[0][1],
+            buf_t2=bufs2[1][1], occ2=jnp.asarray(occB), s_slab=sp)
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-4)
+
 
 class TestFusedFarEval:
     def test_matches_xla_far_evals(self, setup):
