@@ -46,8 +46,12 @@ def main():
     frame0(0).block_until_ready()
     ref = [frame0(i) for i in range(8)]
 
-    grid = [(0.0, 6e-3), (1e-2, 6e-3), (3e-2, 6e-3), (1e-1, 6e-3),
-            (3e-2, 1e-2)]
+    grid = [(0.0, 6e-3), (1e-2, 6e-3), (2e-2, 6e-3), (3e-2, 6e-3),
+            (5e-2, 6e-3), (1e-1, 6e-3)]
+    env_grid = os.environ.get("DFANERF_PRUNE_GRID", "")
+    if env_grid:  # "t1:c1,t2:c2,..."
+        grid = [tuple(float(v) for v in pt.split(":"))
+                for pt in env_grid.split(",")]
     for trans, contrib in grid:
         cfg = ExperimentConfig(
             decoder=dec,
