@@ -46,13 +46,13 @@ def main():
     frame0(0).block_until_ready()
     ref = [frame0(i) for i in range(8)]
 
-    grid = [(0.0, 6e-3), (1e-2, 6e-3), (2e-2, 6e-3), (3e-2, 6e-3),
-            (5e-2, 6e-3), (1e-1, 6e-3)]
+    grid = [(0.0, 6e-3, 0.0), (1e-2, 6e-3, 0.0), (2e-2, 6e-3, 0.0),
+            (3e-2, 6e-3, 0.0), (5e-2, 6e-3, 0.0), (1e-1, 6e-3, 0.0)]
     env_grid = os.environ.get("DFANERF_PRUNE_GRID", "")
-    if env_grid:  # "t1:c1,t2:c2,..."
-        grid = [tuple(float(v) for v in pt.split(":"))
+    if env_grid:  # "t1:c1[:b1],t2:c2[:b2],..." (b = occ_prune_budget)
+        grid = [tuple(float(v) for v in (pt.split(":") + ["0"])[:3])
                 for pt in env_grid.split(",")]
-    for trans, contrib in grid:
+    for trans, contrib, budget in grid:
         cfg = ExperimentConfig(
             decoder=dec,
             render=RenderConfig(**base, ert_eps=1e-4, spatial_tiles=True,
@@ -61,6 +61,7 @@ def main():
                                 occ_pair_compaction=True,
                                 occ_prune_trans=trans,
                                 occ_prune_contrib=contrib,
+                                occ_prune_budget=budget,
                                 far_skip_tol=2e-3, far_subsample=8,
                                 occ_prune_carry=3),
             train=cfg0.train,
@@ -81,9 +82,9 @@ def main():
         prep_s = time.time() - t0
         fps, fps_max = bench_fps(frame, warm=9)
         errs = [float(jnp.abs(frame(i) - ref[i]).max()) for i in range(8)]
-        print(f"trans={trans:g} contrib={contrib:g}: {fps:.2f} fps "
-              f"(max {fps_max:.2f}) prep {prep_s:.1f}s err {max(errs):.4f}",
-              flush=True)
+        print(f"trans={trans:g} contrib={contrib:g} budget={budget:g}: "
+              f"{fps:.2f} fps (max {fps_max:.2f}) prep {prep_s:.1f}s "
+              f"err {max(errs):.4f}", flush=True)
 
 
 if __name__ == "__main__":

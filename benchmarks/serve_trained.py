@@ -128,7 +128,7 @@ def _log(msg):
 
 def run(n_train=12000, occ_thresh=2.0, polish_steps=2000,
         distortion_lambda=3e-3, distortion_from=2000,
-        prune_contrib=6e-3, far_skip_tol=2e-3):
+        prune_contrib=6e-3, far_skip_tol=2e-3, prune_budget=0.0):
     """Train + polish + serve; returns the result dict (main() prints it).
 
     Recipe notes (measured on the 450p synthetic scene; every alternative
@@ -242,6 +242,7 @@ def run(n_train=12000, occ_thresh=2.0, polish_steps=2000,
                             occ_sigma_thresh=occ_thresh, occ_grid_res=96,
                             occ_refresh_every=8, occ_pair_compaction=True,
                             occ_prune_contrib=prune_contrib,
+                            occ_prune_budget=prune_budget,
                             far_skip_tol=far_skip_tol, far_subsample=8,
                             occ_prune_carry=3),
         train=cfgP.train,
@@ -285,9 +286,14 @@ def run(n_train=12000, occ_thresh=2.0, polish_steps=2000,
     _log(f"offline {fps_skip:.2f} fps; bench skip (live, async refresh)...")
     import dataclasses
 
+    # live mode refreshes TWICE as often as the offline window: the async
+    # worker takes refreshes off the critical path, so the extra refreshes
+    # cost only a bounded chip-share slice while halving flag staleness
+    # (the live max-err driver)
     cfg2 = ExperimentConfig(
         decoder=dec,
-        render=dataclasses.replace(cfg1.render, occ_async_refresh=True),
+        render=dataclasses.replace(cfg1.render, occ_async_refresh=True,
+                                   occ_refresh_every=4),
         train=cfgP.train,
     )
     frame2 = make_frame_fn(cfg2, ds, state, data)
@@ -339,11 +345,12 @@ def run(n_train=12000, occ_thresh=2.0, polish_steps=2000,
             "distortion_from": distortion_from,
             "density_activation": "softplus",
             "occ_prune_contrib": prune_contrib,
+            "occ_prune_budget": prune_budget,
             "far_skip_tol": far_skip_tol,
             "polish_rejected": bool(polish_rejected),
             "occ_sigma_thresh": occ_thresh,
-            "occ_grid_res": 48,
-            "occ_refresh_every": 8,
+            "occ_grid_res": cfg1.render.occ_grid_res,
+            "occ_refresh_every": cfg1.render.occ_refresh_every,
             "train_seconds": round(train_s, 1),
             "polish_seconds": round(polish_s, 1),
             # scene-regime transparency (see docs/SERVING.md "What the

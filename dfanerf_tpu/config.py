@@ -94,6 +94,19 @@ class RenderConfig:
     # weights untouched, so val PSNR is exactly the trained model's.
     # Skipping a sub-eps pair changes a ray by <= ~n_slabs*eps/channel;
     # benchmarks report the realized max error vs no-skip. 0 disables.
+    occ_prune_budget: float = 0.0  # pair-compaction BUDGETED visibility
+    # pruning (supersedes occ_prune_contrib when > 0): instead of dropping
+    # every pair independently below a per-pair contribution eps — under
+    # which a ray crossing k dropped pairs can accumulate ~k*eps error —
+    # the refresh greedily drops pairs (ascending by max-ray mass, both
+    # fields sharing one ledger) only while the ACCUMULATED dropped mass
+    # on every ray of the tile stays <= this budget (per-ray slab masses
+    # from deferred_composite's with_ray_diag). The dropped-mass bound is
+    # per ray and per channel, so the realized max pixel error vs no-skip
+    # is ~<= budget (plus the separate occ_prune_trans term, whose drops
+    # sit behind saturated opacity and do not consume budget). Lets the
+    # prune run ~2x more aggressive than occ_prune_contrib at the SAME
+    # realized error. 0 disables; benchmarks report realized error.
     far_skip_tol: float = 0.0  # pair-compaction catch-all elision: with
     # last_dist >= 1e8 the far-plane alphas saturate to EXACTLY 1.0 in
     # f32 (exp(-(sigma+2e-6)*1e10) underflows for any sigma >= 0), so the

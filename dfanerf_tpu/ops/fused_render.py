@@ -1700,6 +1700,7 @@ def deferred_composite(
     buf_t2: jnp.ndarray = None,
     occ2: jnp.ndarray = None,
     s_slab: int = None,
+    with_ray_diag: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """Composite two pair_field_eval buffers — the same per-sample math as
     _render_kernel's in-register march (bg_epilogue mode: the catch-all
@@ -1816,12 +1817,25 @@ def deferred_composite(
         return w.reshape(J, sp, T, R_T).sum(axis=1).max(axis=2).T
 
     frac_h = sig_h / denom
-    contrib_h = tile_contrib(w_h + w_c * frac_h)
-    contrib_t = tile_contrib(w_c * (1.0 - frac_h))
+    mass_h = w_h + w_c * frac_h
+    mass_t = w_c * (1.0 - frac_h)
+    contrib_h = tile_contrib(mass_h)
+    contrib_t = tile_contrib(mass_t)
 
-    return (acc_head, acc_com, tl_h, tl_c,
-            tile_trans(starts_h), tile_trans(starts_c),
-            contrib_h, contrib_t)
+    out = (acc_head, acc_com, tl_h, tl_c,
+           tile_trans(starts_h), tile_trans(starts_c),
+           contrib_h, contrib_t)
+    if with_ray_diag:
+        # per-RAY slab mass [J, T, R_T] per field — the budgeted prune's
+        # input (see RenderConfig.occ_prune_budget): unlike the max-ray
+        # contrib reduction above, this keeps enough resolution for the
+        # refresh to account for masses of MULTIPLE dropped slabs
+        # accumulating on one ray
+        def ray_mass(m):  # [S, n] -> [J, T, R_T]
+            return m.reshape(J, sp, T, R_T).sum(axis=1)
+
+        out = out + (ray_mass(mass_h), ray_mass(mass_t))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -567,10 +567,17 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                                   z_vals_c, with_diagnostics=False,
                                   s_slab=sp)
 
+    # one switch for every refresh-time prune decision (trans / per-pair
+    # contrib / budgeted); the budget prune needs per-ray diag masses
+    prune_on = (rcfg.occ_prune_trans > 0 or rcfg.occ_prune_contrib > 0
+                or rcfg.occ_prune_budget > 0)
+    budget_on = rcfg.occ_prune_budget > 0
+
     @jax.jit
     def composite_diag_fn(rd_g, rd_t_g, buf_h, buf_t, occ_sub):
         return deferred_composite(buf_h, buf_t, occ_sub, rd_g, rd_t_g,
-                                  z_vals_c, s_slab=sp)
+                                  z_vals_c, s_slab=sp,
+                                  with_ray_diag=budget_on)
 
     @jax.jit
     def blend_fn(inputs, far_vals, ah, ac, t_h, t_c, tiles_scatter):
@@ -764,13 +771,21 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         full[tiles_u] = np.asarray(x_sub)[:len(tiles_u)]
         return full
 
-    def prune_flags(tm_h, tm_c, cb_h, cb_t, st=None):
+    def prune_flags(tm_h, tm_c, cb_h, cb_t, wr_h=None, wr_t=None, st=None):
         """Keep-masks [T, J] from one frame's composite diagnostics
         (compacted coordinates, expanded here): drop pairs saturated
         behind opacity (occ_prune_trans, tile-max transmittance) or
         invisible to every stack (occ_prune_contrib, max-ray summed
         compositing weight — the junk-floater killer: bg rays keep
-        transmittance 1, so only the contribution test sees them)."""
+        transmittance 1, so only the contribution test sees them).
+
+        With occ_prune_budget > 0 the visibility prune is BUDGETED
+        instead (wr_h/wr_t = per-ray slab masses [J, K_u, R_T] from
+        deferred_composite with_ray_diag): per tile, candidates from BOTH
+        fields are dropped greedily (ascending max-ray mass) only while
+        every ray's accumulated dropped mass stays under the budget — the
+        exact bound the per-pair eps cannot give when several dropped
+        slabs stack on one ray."""
         keep_h = np.ones((T, J), bool)
         keep_t = np.ones((T, J), bool)
         if rcfg.occ_prune_trans > 0:
@@ -779,7 +794,39 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             tm_c_f = expand_tiles(tm_c, st)
             keep_h &= np.maximum(tm_h_f, tm_c_f) > eps
             keep_t &= tm_c_f > eps
-        if rcfg.occ_prune_contrib > 0:
+        if budget_on and wr_h is not None:
+            B = rcfg.occ_prune_budget
+            stc = cache if st is None else st
+            tiles_u = stc["tiles_u"]
+            k_u = len(tiles_u)
+            # [K, R_T, 2J] candidate masses, both fields in one ledger
+            W = np.concatenate(
+                [np.asarray(wr_h).transpose(1, 2, 0),
+                 np.asarray(wr_t).transpose(1, 2, 0)], axis=2)
+            K = W.shape[0]
+            # candidates: occupied pairs that survived the trans prune
+            # (trans-dropped pairs sit behind saturated opacity — they are
+            # dropped regardless and must not consume budget)
+            cand = np.asarray(stc["occ_sub"]).astype(bool)  # [2, K, J]
+            kc = np.ones((2, K, J), bool)
+            kc[0, :k_u] = keep_h[tiles_u]
+            kc[1, :k_u] = keep_t[tiles_u]
+            cand = (cand & kc).transpose(1, 0, 2).reshape(K, 2 * J)
+            key = np.where(cand, W.max(axis=1), np.inf)  # [K, 2J]
+            Wm = np.where(cand[:, None, :], W, 0.0)
+            order = np.argsort(key, axis=1)
+            Ws = np.take_along_axis(Wm, order[:, None, :], axis=2)
+            feas = np.take_along_axis(key, order, axis=1) < np.inf
+            ok = (Ws.cumsum(axis=2).max(axis=1) <= B) & feas
+            drop_sorted = np.cumprod(ok, axis=1).astype(bool)
+            drop = np.zeros_like(ok)
+            np.put_along_axis(drop, order, drop_sorted, axis=1)
+            drop = drop.reshape(K, 2, J).transpose(1, 0, 2)
+            full = np.zeros((2, T, J), bool)
+            full[:, tiles_u] = drop[:, :k_u]
+            keep_h &= ~full[0]
+            keep_t &= ~full[1]
+        elif rcfg.occ_prune_contrib > 0:
             eps = rcfg.occ_prune_contrib
             keep_h &= expand_tiles(cb_h, st) > eps
             keep_t &= expand_tiles(cb_t, st) > eps
@@ -811,9 +858,10 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             for inp in window_inputs:
                 set_flags(occ_fn(inp))
                 update_far_skip([inp])
-                if rcfg.occ_prune_trans > 0 or rcfg.occ_prune_contrib > 0:
-                    _, tm_h, tm_c, cb_h, cb_t = run_pipeline(inp, diag=True)
-                    kh, kt = prune_flags(tm_h, tm_c, cb_h, cb_t)
+                if prune_on:
+                    _, tm_h, tm_c, cb_h, cb_t, *wr = run_pipeline(
+                        inp, diag=True)
+                    kh, kt = prune_flags(tm_h, tm_c, cb_h, cb_t, *wr)
                     occ_np = np.asarray(cache["occ"])
                     set_flags(np.stack([occ_np[0] * kh, occ_np[1] * kt]),
                               tag="pruned-slot")
@@ -823,11 +871,11 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             occ = jnp.maximum(occ, occ_fn(inp))
         set_flags(occ)
         update_far_skip(window_inputs)
-        if rcfg.occ_prune_trans > 0 or rcfg.occ_prune_contrib > 0:
+        if prune_on:
             keeps = None
             for inp in window_inputs:
-                _, tm_h, tm_c, cb_h, cb_t = run_pipeline(inp, diag=True)
-                kh, kt = prune_flags(tm_h, tm_c, cb_h, cb_t)
+                _, tm_h, tm_c, cb_h, cb_t, *wr = run_pipeline(inp, diag=True)
+                kh, kt = prune_flags(tm_h, tm_c, cb_h, cb_t, *wr)
                 keeps = (kh, kt) if keeps is None else (keeps[0] | kh,
                                                         keeps[1] | kt)
             occ_np = np.asarray(cache["occ"])
@@ -1057,8 +1105,6 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         try:
             st = {}
             occ = occ_fn(inputs)
-            prune_on = (rcfg.occ_prune_trans > 0
-                        or rcfg.occ_prune_contrib > 0)
             carry = (prune_on and rcfg.occ_prune_carry > 0
                      and keeps is not None
                      and keep_age < rcfg.occ_prune_carry)
@@ -1073,9 +1119,10 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                 set_flags(occ, tag="async", into=st)
                 update_far_skip([inputs], into=st)
                 if prune_on:
-                    _, tm_h, tm_c, cb_h, cb_t = run_pipeline(
+                    _, tm_h, tm_c, cb_h, cb_t, *wr = run_pipeline(
                         inputs, diag=True, st=st)
-                    kh, kt = prune_flags(tm_h, tm_c, cb_h, cb_t, st=st)
+                    kh, kt = prune_flags(tm_h, tm_c, cb_h, cb_t, *wr,
+                                         st=st)
                     keeps, keep_age = (kh, kt), 0
                     occ_np = np.asarray(st["occ"])
                     set_flags(np.stack([occ_np[0] * kh, occ_np[1] * kt]),
@@ -1146,7 +1193,6 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         inputs = inputs_fn(params, z_shape, z_app, pose, pose_torso,
                            signal, signal_torso, bc_img)
         occ = occ_fn(inputs)
-        prune_on = rcfg.occ_prune_trans > 0 or rcfg.occ_prune_contrib > 0
         carry = (prune_on and rcfg.occ_prune_carry > 0
                  and cache.get("keeps") is not None
                  and cache.get("keep_age", 0) < rcfg.occ_prune_carry)
@@ -1168,8 +1214,9 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         if prune_on:
             # full refresh: prune for the rest of the window from this
             # frame's own composite (live-serving mode: no lookahead)
-            imgs, tm_h, tm_c, cb_h, cb_t = run_pipeline(inputs, diag=True)
-            keep_h, keep_t = prune_flags(tm_h, tm_c, cb_h, cb_t)
+            imgs, tm_h, tm_c, cb_h, cb_t, *wr = run_pipeline(inputs,
+                                                             diag=True)
+            keep_h, keep_t = prune_flags(tm_h, tm_c, cb_h, cb_t, *wr)
             cache["keeps"] = (keep_h, keep_t)
             cache["keep_age"] = 0
             occ_np = np.asarray(cache["occ"])

@@ -1,0 +1,115 @@
+"""Budgeted visibility pruning (RenderConfig.occ_prune_budget): the
+refresh drops (tile, slab) pairs greedily while every ray's accumulated
+dropped mass stays under the budget — a per-ray error bound the per-pair
+contribution eps cannot give (renderer.py prune_flags, budget branch;
+deferred_composite with_ray_diag).
+
+Runs the real pair-compaction path on CPU via Pallas interpret mode."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dfanerf_tpu.config import ExperimentConfig, RenderConfig, TrainConfig
+from dfanerf_tpu.data import make_synthetic_dataset
+from dfanerf_tpu.render.renderer import make_frame_renderer
+from dfanerf_tpu.train import dataset_to_device, init_train_state
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ExperimentConfig(
+        train=TrainConfig(n_rand=128),
+        render=RenderConfig(n_samples=16, tile_rays=256),
+    )
+    ds = make_synthetic_dataset(n_frames=4, H=32, W=32, n_samples_gt=16)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    data = dataset_to_device(ds)
+    return cfg, ds, state, data
+
+
+def _render_cfg(cfg, **kw):
+    return dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, **kw))
+
+
+def _make(cfg0, ds, **kw):
+    cfg = _render_cfg(cfg0, n_samples=16, use_fused_kernel=True,
+                      spatial_tiles=True, ert_eps=0.0, **kw)
+    return make_frame_renderer(cfg, ds.hwfcxy, ds.near, ds.far)
+
+
+def _frames(render, state, data, sig, sig_t, n):
+    outs = []
+    for i in range(n):
+        h, c = render(
+            state["params"], state["z_shape"], state["z_app"],
+            data["poses"][i % 4], data["poses"][0], sig, sig_t,
+            data["bc_img"],
+        )
+        outs.append(np.asarray(c))
+    return outs
+
+
+SKIP = dict(occ_sigma_thresh=0.05, occ_grid_res=16, occ_refresh_every=8,
+            occ_pair_compaction=True, occ_prune_trans=0.0)
+
+
+class TestBudgetPrune:
+    def test_error_bounded_by_budget(self, setup, monkeypatch):
+        """Frames served under the budgeted prune stay within the budget
+        (plus occupancy-flag staleness slack) of the no-skip render, and
+        the refresh actually drops pairs."""
+        monkeypatch.setenv("DFANERF_PALLAS_INTERPRET", "1")
+        cfg0, ds, state, data = setup
+        sig = jnp.zeros((cfg0.decoder.dim_signal,))
+        sig_t = jnp.zeros((cfg0.decoder.dim_et_embed,))
+        ref = _make(cfg0, ds)
+        ref_out = _frames(ref, state, data, sig, sig_t, 4)
+
+        budget = 0.02
+        render = _make(cfg0, ds, **SKIP, occ_prune_budget=budget)
+        outs = _frames(render, state, data, sig, sig_t, 4)
+        unpruned = _make(cfg0, ds, **SKIP)
+        _frames(unpruned, state, data, sig, sig_t, 1)
+        n_unpruned = float(np.asarray(unpruned.cache["occ"]).sum())
+        n_pruned = float(np.asarray(render.cache["occ"]).sum())
+        assert n_pruned < n_unpruned, "budget prune dropped nothing"
+        for j, o in enumerate(outs):
+            assert np.isfinite(o).all()
+            err = np.abs(o - ref_out[j]).max()
+            # budget bounds the dropped mass per ray; the occupancy flags'
+            # own skip error (shared with the unpruned config) adds slack
+            assert err < budget + 0.02, f"frame {j}: budget prune err {err}"
+
+    def test_budget_monotonic_in_pairs(self, setup, monkeypatch):
+        """A larger budget never keeps more pairs (greedy prefix by
+        ascending mass), and budget=0 disables the branch entirely."""
+        monkeypatch.setenv("DFANERF_PALLAS_INTERPRET", "1")
+        cfg0, ds, state, data = setup
+        sig = jnp.zeros((cfg0.decoder.dim_signal,))
+        sig_t = jnp.zeros((cfg0.decoder.dim_et_embed,))
+        counts = {}
+        for b in (0.0, 1e-4, 0.05):
+            render = _make(cfg0, ds, **SKIP, occ_prune_budget=b)
+            _frames(render, state, data, sig, sig_t, 1)
+            counts[b] = float(np.asarray(render.cache["occ"]).sum())
+        assert counts[0.05] <= counts[1e-4] <= counts[0.0]
+
+    def test_budget_supersedes_contrib(self, setup, monkeypatch):
+        """With both knobs set the budgeted branch wins (config contract:
+        occ_prune_budget supersedes occ_prune_contrib)."""
+        monkeypatch.setenv("DFANERF_PALLAS_INTERPRET", "1")
+        cfg0, ds, state, data = setup
+        sig = jnp.zeros((cfg0.decoder.dim_signal,))
+        sig_t = jnp.zeros((cfg0.decoder.dim_et_embed,))
+        both = _make(cfg0, ds, **SKIP, occ_prune_budget=0.01,
+                     occ_prune_contrib=1e9)
+        _frames(both, state, data, sig, sig_t, 1)
+        solo = _make(cfg0, ds, **SKIP, occ_prune_budget=0.01)
+        _frames(solo, state, data, sig, sig_t, 1)
+        assert (float(np.asarray(both.cache["occ"]).sum())
+                == float(np.asarray(solo.cache["occ"]).sum()))
