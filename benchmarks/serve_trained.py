@@ -417,14 +417,26 @@ def e2e_audio_video(cfg_live, ds, state, data, n_frames=80):
             p, auds, exps, poses, i, n, cfg_live, True,
         )
     )
-    t1 = time.time()
-    frames = []
-    for i in range(n):
+
+    def live_frame(i):
         sig, sig_t = sig_fn(state["params"], jnp.int32(i))
         _, com = render(
             state["params"], state["z_shape"], state["z_app"],
             poses[i], poses[0], sig, sig_t, data["bc_img"],
         )
+        return com
+
+    # steady-state warm: the novel audio's signal trajectory shifts the
+    # occupied-pair bucket sizes, so the first refresh cycles compile
+    # first-seen fast-path programs (a long-running server pays these
+    # once); two refresh cycles outside the timed region, like bench_fps
+    warm = min(2 * cfg_live.render.occ_refresh_every + 1, n)
+    for i in range(warm):
+        live_frame(i).block_until_ready()
+    t1 = time.time()
+    frames = []
+    for i in range(n):
+        com = live_frame(i)
         frames.append(np.asarray(
             jnp.clip(com, 0.0, 1.0) * 255).astype(np.uint8))
     render_s = time.time() - t1

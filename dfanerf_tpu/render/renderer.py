@@ -24,6 +24,36 @@ from dfanerf_tpu.render.fields import render_ray_batch
 from dfanerf_tpu.train.signals import encode_signal, encode_signal_torso
 
 
+def budget_drop_masks(wr_h: np.ndarray, wr_t: np.ndarray,
+                      cand: np.ndarray, budget: float) -> np.ndarray:
+    """Greedy budgeted pair-drop decision (RenderConfig.occ_prune_budget).
+
+    wr_h/wr_t [J, K, R] — per-ray summed compositing mass of each field's
+    (tile, slab) pair on each of the tile's rays (deferred_composite
+    with_ray_diag); cand [2, K, J] bool — pairs eligible to drop. Per
+    tile, candidates from BOTH fields are dropped in ascending order of
+    max-ray mass while the ACCUMULATED dropped mass on every ray stays
+    <= budget (the greedy prefix over sorted candidates — feasibility is
+    monotone in the prefix since masses are nonnegative). Returns
+    drop [2, K, J] bool, always a subset of cand. Pure host-side numpy:
+    K tiles x 2J candidates, vectorized over tiles."""
+    J = wr_h.shape[0]
+    # [K, R, 2J]: both fields in one per-ray ledger
+    W = np.concatenate([wr_h.transpose(1, 2, 0),
+                        wr_t.transpose(1, 2, 0)], axis=2)
+    c = cand.transpose(1, 0, 2).reshape(W.shape[0], 2 * J)
+    key = np.where(c, W.max(axis=1), np.inf)  # non-candidates sort last
+    Wm = np.where(c[:, None, :], W, 0.0)
+    order = np.argsort(key, axis=1)
+    Ws = np.take_along_axis(Wm, order[:, None, :], axis=2)
+    feas = np.take_along_axis(key, order, axis=1) < np.inf
+    ok = (Ws.cumsum(axis=2).max(axis=1) <= budget) & feas
+    drop_sorted = np.cumprod(ok, axis=1).astype(bool)
+    drop = np.zeros_like(ok)
+    np.put_along_axis(drop, order, drop_sorted, axis=1)
+    return drop.reshape(-1, 2, J).transpose(1, 0, 2)
+
+
 def make_frame_renderer(cfg: ExperimentConfig, hwfcxy, near: float, far: float):
     """Build a jitted full-frame renderer.
 
@@ -795,15 +825,10 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             keep_h &= np.maximum(tm_h_f, tm_c_f) > eps
             keep_t &= tm_c_f > eps
         if budget_on and wr_h is not None:
-            B = rcfg.occ_prune_budget
             stc = cache if st is None else st
             tiles_u = stc["tiles_u"]
             k_u = len(tiles_u)
-            # [K, R_T, 2J] candidate masses, both fields in one ledger
-            W = np.concatenate(
-                [np.asarray(wr_h).transpose(1, 2, 0),
-                 np.asarray(wr_t).transpose(1, 2, 0)], axis=2)
-            K = W.shape[0]
+            K = np.asarray(wr_h).shape[1]
             # candidates: occupied pairs that survived the trans prune
             # (trans-dropped pairs sit behind saturated opacity — they are
             # dropped regardless and must not consume budget)
@@ -811,17 +836,8 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             kc = np.ones((2, K, J), bool)
             kc[0, :k_u] = keep_h[tiles_u]
             kc[1, :k_u] = keep_t[tiles_u]
-            cand = (cand & kc).transpose(1, 0, 2).reshape(K, 2 * J)
-            key = np.where(cand, W.max(axis=1), np.inf)  # [K, 2J]
-            Wm = np.where(cand[:, None, :], W, 0.0)
-            order = np.argsort(key, axis=1)
-            Ws = np.take_along_axis(Wm, order[:, None, :], axis=2)
-            feas = np.take_along_axis(key, order, axis=1) < np.inf
-            ok = (Ws.cumsum(axis=2).max(axis=1) <= B) & feas
-            drop_sorted = np.cumprod(ok, axis=1).astype(bool)
-            drop = np.zeros_like(ok)
-            np.put_along_axis(drop, order, drop_sorted, axis=1)
-            drop = drop.reshape(K, 2, J).transpose(1, 0, 2)
+            drop = budget_drop_masks(np.asarray(wr_h), np.asarray(wr_t),
+                                     cand & kc, rcfg.occ_prune_budget)
             full = np.zeros((2, T, J), bool)
             full[:, tiles_u] = drop[:, :k_u]
             keep_h &= ~full[0]

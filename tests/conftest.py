@@ -47,6 +47,15 @@ def add_reference_to_path():
 import pytest  # noqa: E402
 
 _SLOW_TESTS = {
+    "test_step_landmarks_dense_contract",
+    "test_pack2_matches_noskip",
+    "test_flow_on_crops_contract",
+    "test_pair_compacted_matches_predicated_fused",
+    "test_z_latents_never_move",
+    "test_shapes_and_jit",
+    "test_error_bounded_by_budget",
+    "test_budget_monotonic_in_pairs",
+    "test_budget_supersedes_contrib",
     "test_full_chain_steps_2_to_9",
     "test_loss_decreases",
     "test_dynamic_speaker_branch_follows_speak_frames",

@@ -58,6 +58,67 @@ SKIP = dict(occ_sigma_thresh=0.05, occ_grid_res=16, occ_refresh_every=8,
             occ_pair_compaction=True, occ_prune_trans=0.0)
 
 
+class TestBudgetGreedy:
+    """Pure-numpy contracts of the greedy itself (renderer.py
+    budget_drop_masks) — the fast-tier coverage; the rendering tests
+    below are the slow-tier integration."""
+
+    def _rand(self, seed, K=5, J=4, R=8):
+        rng = np.random.default_rng(seed)
+        wr_h = rng.uniform(0, 0.01, (J, K, R)).astype(np.float32)
+        wr_t = rng.uniform(0, 0.01, (J, K, R)).astype(np.float32)
+        cand = rng.random((2, K, J)) < 0.8
+        return wr_h, wr_t, cand
+
+    def test_dropped_mass_within_budget_per_ray(self):
+        from dfanerf_tpu.render.renderer import budget_drop_masks
+
+        wr_h, wr_t, cand = self._rand(0)
+        for budget in (1e-4, 5e-3, 0.02):
+            drop = budget_drop_masks(wr_h, wr_t, cand, budget)
+            assert not (drop & ~cand).any(), "dropped a non-candidate"
+            W = np.concatenate([wr_h.transpose(1, 2, 0),
+                                wr_t.transpose(1, 2, 0)], axis=2)
+            d = drop.transpose(1, 0, 2).reshape(drop.shape[1], -1)
+            dropped_mass = (W * d[:, None, :]).sum(axis=2)  # [K, R]
+            assert dropped_mass.max() <= budget + 1e-7
+
+    def test_greedy_is_maximal_prefix(self):
+        """No additional candidate with mass below every kept one could
+        have been dropped: adding the smallest surviving candidate to the
+        dropped set must break the budget on some ray of its tile."""
+        from dfanerf_tpu.render.renderer import budget_drop_masks
+
+        wr_h, wr_t, cand = self._rand(1)
+        budget = 4e-3
+        drop = budget_drop_masks(wr_h, wr_t, cand, budget)
+        W = np.concatenate([wr_h.transpose(1, 2, 0),
+                            wr_t.transpose(1, 2, 0)], axis=2)
+        c = cand.transpose(1, 0, 2).reshape(W.shape[0], -1)
+        d = drop.transpose(1, 0, 2).reshape(W.shape[0], -1)
+        for k in range(W.shape[0]):
+            surv = np.where(c[k] & ~d[k])[0]
+            if not len(surv):
+                continue
+            j = surv[np.argmin(W[k, :, surv].max(axis=1))]
+            mask = d[k] | (np.arange(c.shape[1]) == j)
+            worst = (W[k] * mask).sum(axis=1)  # per-ray dropped mass
+            assert worst.max() > budget, f"tile {k}: greedy not maximal"
+
+    def test_monotone_in_budget(self):
+        from dfanerf_tpu.render.renderer import budget_drop_masks
+
+        wr_h, wr_t, cand = self._rand(2)
+        prev = None
+        for budget in (1e-5, 1e-3, 1e-2, 1.0):
+            drop = budget_drop_masks(wr_h, wr_t, cand, budget)
+            if prev is not None:
+                assert (prev <= drop).all(), "smaller budget dropped more"
+            prev = drop
+        # unbounded budget drops every candidate
+        assert (prev == cand).all()
+
+
 class TestBudgetPrune:
     def test_error_bounded_by_budget(self, setup, monkeypatch):
         """Frames served under the budgeted prune stay within the budget
