@@ -49,10 +49,13 @@ def main():
     grid = [(0.0, 6e-3, 0.0), (1e-2, 6e-3, 0.0), (2e-2, 6e-3, 0.0),
             (3e-2, 6e-3, 0.0), (5e-2, 6e-3, 0.0), (1e-1, 6e-3, 0.0)]
     env_grid = os.environ.get("DFANERF_PRUNE_GRID", "")
-    if env_grid:  # "t1:c1[:b1],t2:c2[:b2],..." (b = occ_prune_budget)
-        grid = [tuple(float(v) for v in (pt.split(":") + ["0"])[:3])
+    if env_grid:  # "t:c[:b[:fss[:color01]]],..." (b = occ_prune_budget)
+        grid = [tuple(float(v)
+                      for v in (pt.split(":") + ["0", "8", "0"])[:5])
                 for pt in env_grid.split(",")]
-    for trans, contrib, budget in grid:
+    else:
+        grid = [g + (8, 0) for g in grid]
+    for trans, contrib, budget, fss, color in grid:
         cfg = ExperimentConfig(
             decoder=dec,
             render=RenderConfig(**base, ert_eps=1e-4, spatial_tiles=True,
@@ -62,7 +65,8 @@ def main():
                                 occ_prune_trans=trans,
                                 occ_prune_contrib=contrib,
                                 occ_prune_budget=budget,
-                                far_skip_tol=2e-3, far_subsample=8,
+                                occ_budget_color=bool(color),
+                                far_skip_tol=2e-3, far_subsample=int(fss),
                                 occ_prune_carry=3),
             train=cfg0.train,
         )
@@ -82,9 +86,10 @@ def main():
         prep_s = time.time() - t0
         fps, fps_max = bench_fps(frame, warm=9)
         errs = [float(jnp.abs(frame(i) - ref[i]).max()) for i in range(8)]
-        print(f"trans={trans:g} contrib={contrib:g} budget={budget:g}: "
-              f"{fps:.2f} fps (max {fps_max:.2f}) prep {prep_s:.1f}s "
-              f"err {max(errs):.4f}", flush=True)
+        print(f"trans={trans:g} contrib={contrib:g} budget={budget:g} "
+              f"fss={int(fss)} color={int(color)}: "
+              f"{fps:.2f} fps (max {fps_max:.2f}) "
+              f"prep {prep_s:.1f}s err {max(errs):.4f}", flush=True)
 
 
 if __name__ == "__main__":

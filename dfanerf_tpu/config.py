@@ -107,6 +107,18 @@ class RenderConfig:
     # sit behind saturated opacity and do not consume budget). Lets the
     # prune run ~2x more aggressive than occ_prune_contrib at the SAME
     # realized error. 0 disables; benchmarks report realized error.
+    occ_budget_color: bool = False  # budget the prune in COLOR error
+    # instead of raw mass: the greedy's per-ray ledger accumulates a
+    # first-order estimate of each dropped pair's pixel-error —
+    # |sum(w c) - sum(w) * c_behind| per channel, where c_behind is the
+    # color composited from everything behind the pair (later slabs + the
+    # bg catch-all; deferred_composite ray_err_bc path). Raw mass assumes
+    # the worst-case color mismatch of 1.0, so wherever a pair's color
+    # matches its replacement (torso interiors, dark regions) the color
+    # key is far smaller and the SAME budget drops ~2x more pairs at the
+    # same realized error. The estimate is first-order (renormalization
+    # is linearized), so unlike mass mode the budget is a calibrated
+    # target rather than a hard bound; benchmarks report realized error.
     far_skip_tol: float = 0.0  # pair-compaction catch-all elision: with
     # last_dist >= 1e8 the far-plane alphas saturate to EXACTLY 1.0 in
     # f32 (exp(-(sigma+2e-6)*1e10) underflows for any sigma >= 0), so the
@@ -123,8 +135,8 @@ class RenderConfig:
     far_subsample: int = 1  # pair-compaction catch-all resolution: the
     # far-plane field values sh(far)/ct(far) are spatially smooth (empty
     # space + the torso's far color), so the serving fast path may
-    # evaluate them on an in-tile (16/ss)^2 pixel subgrid and
-    # nearest-upsample (1 = full resolution/exact; 2 = quarter the far
+    # evaluate them on an in-tile (16/ss)^2 cell-center subgrid and
+    # bilinearly upsample (1 = full resolution/exact; 2 = quarter the far
     # points). The realized error is covered by the benchmarks'
     # max-error-vs-noskip discipline. Refresh-time far_skip_tol
     # measurement always runs at full resolution.

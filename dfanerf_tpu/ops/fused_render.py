@@ -1701,6 +1701,7 @@ def deferred_composite(
     occ2: jnp.ndarray = None,
     s_slab: int = None,
     with_ray_diag: bool = False,
+    ray_err_bc: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """Composite two pair_field_eval buffers — the same per-sample math as
     _render_kernel's in-register march (bg_epilogue mode: the catch-all
@@ -1834,7 +1835,51 @@ def deferred_composite(
         def ray_mass(m):  # [S, n] -> [J, T, R_T]
             return m.reshape(J, sp, T, R_T).sum(axis=1)
 
-        out = out + (ray_mass(mass_h), ray_mass(mass_t))
+        if ray_err_bc is None:
+            out = out + (ray_mass(mass_h), ray_mass(mass_t))
+            return out
+
+        # COLOR-aware budget keys (RenderConfig.occ_budget_color):
+        # first-order pixel-error estimate of dropping each (tile, slab)
+        # pair on each ray. Dropping a pair removes its color-weighted
+        # mass and renormalizes the remaining transmittance onto what lies
+        # BEHIND it (later samples + the bg catch-all), so the realized
+        # change is ~ |sum w c  -  (sum w) * c_behind| per channel — far
+        # below the raw mass wherever the pair's color matches its
+        # replacement (torso interiors, dark regions). c_behind is exact
+        # at first order: a reverse cumulative sum over slabs plus the
+        # final-transmittance bg term. ray_err_bc [n, 3] = the bg pixel.
+        bc = ray_err_bc.astype(jnp.float32)  # [n, 3]
+        bc_r = bc.T.reshape(3, T, R_T)
+
+        def slab_sum(x):  # [S, n] -> [J, T, R_T]
+            return x.reshape(J, sp, T, R_T).sum(axis=1)
+
+        def behind(slab_x, tail):  # [J,T,R] -> sum over slabs j' > j + tail
+            rev = jnp.cumsum(slab_x[::-1], axis=0)[::-1]
+            return jnp.concatenate([rev[1:], jnp.zeros_like(rev[:1])]) + tail
+
+        frac_t = 1.0 - frac_h
+        m_hs = slab_sum(w_h)                  # head-stack mass of head pairs
+        m_ch = slab_sum(w_c * frac_h)         # com-stack mass, head share
+        m_ct = slab_sum(w_c * frac_t)         # com-stack mass, torso share
+        tlh = tl_h[:, 0].reshape(T, R_T)
+        tlc = tl_c[:, 0].reshape(T, R_T)
+        bm_h = behind(m_hs, tlh)              # replacement mass behind pair
+        bm_c = behind(m_ch + m_ct, tlc)
+        e_h = jnp.zeros_like(m_hs)
+        e_t = jnp.zeros_like(m_ct)
+        for c in range(3):
+            col_hs = slab_sum(w_h * rgb_h[c])
+            col_ch = slab_sum(w_c * frac_h * rgb_h[c])
+            col_ct = slab_sum(w_c * frac_t * rgb_t[c])
+            cb_h = behind(col_hs, tlh * bc_r[c]) / jnp.maximum(bm_h, 1e-8)
+            cb_c = behind(col_ch + col_ct,
+                          tlc * bc_r[c]) / jnp.maximum(bm_c, 1e-8)
+            e_h = jnp.maximum(e_h, jnp.abs(col_hs - m_hs * cb_h))
+            e_h = jnp.maximum(e_h, jnp.abs(col_ch - m_ch * cb_c))
+            e_t = jnp.maximum(e_t, jnp.abs(col_ct - m_ct * cb_c))
+        out = out + (e_h, e_t)
     return out
 
 

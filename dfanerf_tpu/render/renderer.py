@@ -28,15 +28,17 @@ def budget_drop_masks(wr_h: np.ndarray, wr_t: np.ndarray,
                       cand: np.ndarray, budget: float) -> np.ndarray:
     """Greedy budgeted pair-drop decision (RenderConfig.occ_prune_budget).
 
-    wr_h/wr_t [J, K, R] — per-ray summed compositing mass of each field's
-    (tile, slab) pair on each of the tile's rays (deferred_composite
-    with_ray_diag); cand [2, K, J] bool — pairs eligible to drop. Per
-    tile, candidates from BOTH fields are dropped in ascending order of
-    max-ray mass while the ACCUMULATED dropped mass on every ray stays
-    <= budget (the greedy prefix over sorted candidates — feasibility is
-    monotone in the prefix since masses are nonnegative). Returns
-    drop [2, K, J] bool, always a subset of cand. Pure host-side numpy:
-    K tiles x 2J candidates, vectorized over tiles."""
+    wr_h/wr_t [J, K, R] — per-ray drop cost of each field's (tile, slab)
+    pair on each of the tile's rays: raw compositing mass, or the
+    first-order color-error estimate under occ_budget_color (both from
+    deferred_composite with_ray_diag); cand [2, K, J] bool — pairs
+    eligible to drop. Per tile, candidates from BOTH fields are dropped
+    in ascending order of max-ray cost while the ACCUMULATED dropped cost
+    on every ray stays <= budget (the greedy prefix over sorted
+    candidates — feasibility is monotone in the prefix since costs are
+    nonnegative). Returns drop [2, K, J] bool, always a subset of cand.
+    Pure host-side numpy: K tiles x 2J candidates, vectorized over
+    tiles."""
     J = wr_h.shape[0]
     # [K, R, 2J]: both fields in one per-ray ledger
     W = np.concatenate([wr_h.transpose(1, 2, 0),
@@ -588,7 +590,7 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
     def gather_fn(inputs, tiles_sel):
         pw_h, pw_t, ro, rd, ro_t, rd_t, bc_p = inputs
         sel = lambda x: x.reshape(T, R_T, 3)[tiles_sel].reshape(-1, 3)
-        return sel(ro), sel(rd), sel(ro_t), sel(rd_t)
+        return sel(ro), sel(rd), sel(ro_t), sel(rd_t), sel(bc_p)
 
     @jax.jit
     def composite_fn(rd_g, rd_t_g, buf_h, buf_t, occ_sub):
@@ -604,10 +606,11 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
     budget_on = rcfg.occ_prune_budget > 0
 
     @jax.jit
-    def composite_diag_fn(rd_g, rd_t_g, buf_h, buf_t, occ_sub):
-        return deferred_composite(buf_h, buf_t, occ_sub, rd_g, rd_t_g,
-                                  z_vals_c, s_slab=sp,
-                                  with_ray_diag=budget_on)
+    def composite_diag_fn(rd_g, rd_t_g, buf_h, buf_t, occ_sub, bc_g):
+        return deferred_composite(
+            buf_h, buf_t, occ_sub, rd_g, rd_t_g, z_vals_c, s_slab=sp,
+            with_ray_diag=budget_on,
+            ray_err_bc=bc_g if rcfg.occ_budget_color else None)
 
     @jax.jit
     def blend_fn(inputs, far_vals, ah, ac, t_h, t_c, tiles_scatter):
@@ -771,7 +774,8 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         diagnostics in COMPACTED tile coordinates (st['tiles_u'] maps
         back)."""
         st = cache if st is None else st
-        ro_g, rd_g, ro_t_g, rd_t_g = gather_fn(inputs, st["tiles_sel"])
+        ro_g, rd_g, ro_t_g, rd_t_g, bc_g = gather_fn(inputs,
+                                                     st["tiles_sel"])
         bufs = []
         for pw, o, d, branch, (ti, ji) in (
                 (inputs[0], ro_g, rd_g, "head", st["lists"][0]),
@@ -782,9 +786,13 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             bufs.append(kernel_cache[ck](pw, o, d, ti, ji))
         far_skip = st.get("far_skip", False)
         far_vals = None if far_skip else far_fn(inputs)
-        comp_fn = composite_diag_fn if diag else composite_fn
-        ah, ac, t_h, t_c, *diags = comp_fn(
-            rd_g, rd_t_g, bufs[0], bufs[1], st["occ_sub"])
+        if diag:
+            ah, ac, t_h, t_c, *diags = composite_diag_fn(
+                rd_g, rd_t_g, bufs[0], bufs[1], st["occ_sub"], bc_g)
+        else:
+            diags = ()
+            ah, ac, t_h, t_c = composite_fn(
+                rd_g, rd_t_g, bufs[0], bufs[1], st["occ_sub"])
         if far_skip:
             imgs = blend_nofar_fn(inputs, ah, ac, t_h, t_c,
                                   st["tiles_scatter"])
@@ -911,20 +919,41 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
     far = z_vals_c[-1]
 
     def _sub_tiles(x):
-        """[T*256, C] tile-order -> in-tile (16/ss)^2 subgrid (every
-        ss-th pixel in each direction)."""
+        """[T*256, C] tile-order -> in-tile (16/ss)^2 CELL-CENTER subgrid
+        (pixel ss/2 + i*ss in each direction — centers halve the max
+        pixel-to-sample distance vs corner sampling)."""
         c = x.shape[-1]
-        v = x.reshape(T, 16, 16, c)[:, ::far_ss, ::far_ss, :]
+        v = x.reshape(T, 16, 16, c)[:, far_ss // 2::far_ss,
+                                    far_ss // 2::far_ss, :]
         return v.reshape(T * (16 // far_ss) ** 2, c)
 
+    # bilinear inverse of _sub_tiles: out[x] interpolates the two nearest
+    # cell centers (edge-clamped at tile borders), separably per axis via
+    # one precomputed [16, m] matrix. sh/ct are spatially smooth at the
+    # far plane, so this cuts the subsample's max error ~4x vs nearest
+    # neighbor at the same kernel cost; the realized error is covered by
+    # the benchmarks' max-error-vs-noskip discipline.
+    def _up_matrix():
+        m = 16 // far_ss
+        centers = (far_ss // 2 + np.arange(m) * far_ss).astype(np.float64)
+        A = np.zeros((16, m), np.float32)
+        for x in range(16):
+            i = np.clip(np.searchsorted(centers, x) - 1, 0, m - 2)
+            w = np.clip((x - centers[i]) / (centers[i + 1] - centers[i]),
+                        0.0, 1.0) if m > 1 else 0.0
+            A[x, i] = 1.0 - w
+            A[x, min(i + 1, m - 1)] += w
+        return jnp.asarray(A)
+
+    _up_A = _up_matrix() if far_ss > 1 else None
+
     def _up_tiles(x):
-        """Nearest-neighbor inverse of _sub_tiles. sh/ct are spatially
-        smooth at the far plane; the realized error is covered by the
-        benchmarks' max-error-vs-noskip discipline."""
+        if far_ss == 1:
+            return x
         c = x.shape[-1]
         m = 16 // far_ss
-        v = x.reshape(T, m, 1, m, 1, c)
-        v = jnp.broadcast_to(v, (T, m, far_ss, m, far_ss, c))
+        v = x.reshape(T, m, m, c)
+        v = jnp.einsum("xj,tjkc,yk->txyc", _up_A, v, _up_A)
         return v.reshape(T * 256, c)
 
     prep_cache = {}
@@ -1680,7 +1709,14 @@ def _make_hier_pair_renderer(cfg: ExperimentConfig, hwfcxy, near: float,
     def get_finish(k_u):
         if k_u not in finish_cache:
             @jax.jit
-            def f(buf, occ_dev, dists, bc_g, bc_p, tiles_scatter):
+            def f(buf, occ_f, list_mask, dists, bc_g, bc_p, tiles_scatter):
+                # effective composite mask: the FRESH per-frame fine flags
+                # (device-resident — no host sync) AND the pair list the
+                # kernel actually ran (padding tile rows are zero in
+                # list_mask): reads of unwritten buffer blocks stay
+                # masked, and pairs the stale list missed render as if
+                # pruned (the carry staleness the benchmarks measure)
+                occ_dev = occ_f * list_mask
                 head_u = deferred_composite_head(buf, occ_dev, dists, bc_g)
                 base = bc_p.reshape(T, R_T, 3)
                 full = jnp.concatenate(
@@ -1712,6 +1748,61 @@ def _make_hier_pair_renderer(cfg: ExperimentConfig, hwfcxy, near: float,
         j_i = np.concatenate([j_i, np.zeros(pad)]).astype(np.int32)
         return jnp.asarray(t_i), jnp.asarray(j_i)
 
+    # refresh-carry state (rcfg.occ_refresh_every, same staleness
+    # discipline as the serving path): the host-synced artifacts — union
+    # tiles, coarse pair list, the SAT, and the FINE pair list — are
+    # rebuilt every N frames; in between the frame runs with ZERO host
+    # syncs (prep -> sigma -> resample -> fine -> finish, all async
+    # dispatch), compositing under the fresh device-side fine flags ANDed
+    # with the carried pair list. Importance mass that moves OUTSIDE the
+    # carried list within a window renders as pruned; the benchmarks'
+    # max-error-vs-noskip discipline measures exactly that staleness.
+    hcache = {"age": 0}
+
+    def _refresh(pw, ro, rd, bc_p):
+        occ_c, (sat, lo, span) = coarse_flags_fn(pw, ro, rd)
+        occ_c_np = np.asarray(occ_c)  # host sync ~7 KB
+        tiles_u = np.nonzero(occ_c_np.max(axis=1))[0]
+        if len(tiles_u) == 0:
+            hcache.clear()
+            hcache.update(age=0, empty=True)
+            return
+        k_u = bucket(len(tiles_u), tile_ladder)
+        tiles_sel = np.concatenate(
+            [tiles_u, np.zeros(k_u - len(tiles_u))]).astype(np.int32)
+        tiles_scatter = tiles_sel.copy()
+        tiles_scatter[len(tiles_u):] = T  # dummy row for padding tiles
+        occ_sub = occ_c_np[tiles_sel]
+        occ_sub[len(tiles_u):] = 0
+        ti_c, ji_c = pair_list(occ_sub, k_u)
+        ro_g, rd_g, bc_g = get_gather(k_u)(ro, rd, bc_p,
+                                           jnp.asarray(tiles_sel))
+        sig_buf = get_sigma(int(ti_c.shape[0]), k_u)(
+            pw, ro_g, rd_g, ti_c, ji_c)
+        z_buf, dists, occ_f = get_resample(k_u)(
+            pw, ro_g, rd_g, sig_buf, jnp.asarray(occ_sub), sat, lo, span)
+        occ_f_np = np.array(occ_f)  # host sync ~20 KB (writable copy)
+        occ_f_np[len(tiles_u):] = 0
+        ti_f, ji_f = pair_list(occ_f_np > 0, k_u)
+        if os.environ.get("DFANERF_DEBUG_HIER"):
+            print(f"[hier] tiles_u={len(tiles_u)} k_u={k_u} "
+                  f"coarse_pairs={int(occ_sub.sum())} "
+                  f"fine_pairs={int((occ_f_np > 0).sum())} "
+                  f"(buckets {int(ti_c.shape[0])}/{int(ti_f.shape[0])})",
+                  flush=True)
+        hcache.update(
+            age=0, empty=False, k_u=k_u, n_real=len(tiles_u),
+            sat=(sat, lo, span),
+            tiles_sel=jnp.asarray(tiles_sel),
+            tiles_scatter=jnp.asarray(tiles_scatter),
+            occ_sub=jnp.asarray(occ_sub),
+            ti_c=ti_c, ji_c=ji_c, ti_f=ti_f, ji_f=ji_f,
+            list_mask=jnp.asarray((occ_f_np > 0).astype(np.float32)),
+            # the refresh frame's own device intermediates: its render
+            # reuses them instead of re-running gather/sigma/resample
+            frame0=(ro_g, rd_g, bc_g, z_buf, dists, occ_f),
+        )
+
     def render(params, z_shape, z_app, pose, signal, bc_img):
         trace = []
         if os.environ.get("DFANERF_DEBUG_HIER_T"):
@@ -1728,43 +1819,35 @@ def _make_hier_pair_renderer(cfg: ExperimentConfig, hwfcxy, near: float,
         pw, ro, rd, bc_p = prep_fn(params, z_shape, z_app, pose, signal,
                                    bc_img)
         _mark("prep", bc_p)
-        occ_c, (sat, lo, span) = coarse_flags_fn(pw, ro, rd)
-        occ_c_np = np.asarray(occ_c)  # host sync ~7 KB
-        _mark("coarse_flags", occ_c_np)
-        tiles_u = np.nonzero(occ_c_np.max(axis=1))[0]
-        if len(tiles_u) == 0:
+        refresh_n = max(int(rcfg.occ_refresh_every), 1)
+        if "empty" not in hcache or hcache["age"] >= refresh_n:
+            _refresh(pw, ro, rd, bc_p)
+            _mark("refresh", bc_p)
+        hcache["age"] += 1
+        if hcache["empty"]:
             # nothing occupied anywhere: every ray is t=1 background
             return unpermute(bc_p)
-        k_u = bucket(len(tiles_u), tile_ladder)
-        tiles_sel = np.concatenate(
-            [tiles_u, np.zeros(k_u - len(tiles_u))]).astype(np.int32)
-        tiles_scatter = tiles_sel.copy()
-        tiles_scatter[len(tiles_u):] = T  # dummy row for padding tiles
-        occ_sub = occ_c_np[tiles_sel]
-        occ_sub[len(tiles_u):] = 0
-        ti_c, ji_c = pair_list(occ_sub, k_u)
-        tiles_sel_d = jnp.asarray(tiles_sel)
-        ro_g, rd_g, bc_g = get_gather(k_u)(ro, rd, bc_p, tiles_sel_d)
-        sig_buf = get_sigma(int(ti_c.shape[0]), k_u)(
-            pw, ro_g, rd_g, ti_c, ji_c)
-        _mark("sigma_kernel", sig_buf)
-        z_buf, dists, occ_f = get_resample(k_u)(
-            pw, ro_g, rd_g, sig_buf, jnp.asarray(occ_sub), sat, lo, span)
-        occ_f_np = np.array(occ_f)  # host sync ~20 KB (writable copy)
-        _mark("resample", occ_f_np)
-        occ_f_np[len(tiles_u):] = 0
-        ti_f, ji_f = pair_list(occ_f_np, k_u)
-        if os.environ.get("DFANERF_DEBUG_HIER"):
-            print(f"[hier] tiles_u={len(tiles_u)} k_u={k_u} "
-                  f"coarse_pairs={int(occ_sub.sum())} "
-                  f"fine_pairs={int(occ_f_np.sum())} "
-                  f"(buckets {int(ti_c.shape[0])}/{int(ti_f.shape[0])})",
-                  flush=True)
-        buf = get_fine(int(ti_f.shape[0]), k_u)(
-            pw, ro_g, rd_g, z_buf, ti_f, ji_f)
+        k_u = hcache["k_u"]
+        if hcache.get("frame0") is not None:
+            # this IS the refresh frame: reuse its intermediates
+            ro_g, rd_g, bc_g, z_buf, dists, occ_f = hcache.pop("frame0")
+            _mark("sigma_kernel", ())
+            _mark("resample", ())
+        else:
+            sat, lo, span = hcache["sat"]
+            ro_g, rd_g, bc_g = get_gather(k_u)(ro, rd, bc_p,
+                                               hcache["tiles_sel"])
+            sig_buf = get_sigma(int(hcache["ti_c"].shape[0]), k_u)(
+                pw, ro_g, rd_g, hcache["ti_c"], hcache["ji_c"])
+            _mark("sigma_kernel", sig_buf)
+            z_buf, dists, occ_f = get_resample(k_u)(
+                pw, ro_g, rd_g, sig_buf, hcache["occ_sub"], sat, lo, span)
+            _mark("resample", occ_f)
+        buf = get_fine(int(hcache["ti_f"].shape[0]), k_u)(
+            pw, ro_g, rd_g, z_buf, hcache["ti_f"], hcache["ji_f"])
         _mark("fine_kernel", buf)
-        out = get_finish(k_u)(buf, jnp.asarray(occ_f_np), dists, bc_g,
-                              bc_p, jnp.asarray(tiles_scatter))
+        out = get_finish(k_u)(buf, occ_f, hcache["list_mask"], dists,
+                              bc_g, bc_p, hcache["tiles_scatter"])
         if trace:
             _mark("finish", out)
             msg = " ".join(

@@ -51,6 +51,7 @@ _SLOW_TESTS = {
     "test_pack2_matches_noskip",
     "test_flow_on_crops_contract",
     "test_pair_compacted_matches_predicated_fused",
+    "test_refresh_carry_staleness_bounded",
     "test_z_latents_never_move",
     "test_shapes_and_jit",
     "test_error_bounded_by_budget",

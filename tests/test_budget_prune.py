@@ -119,6 +119,98 @@ class TestBudgetGreedy:
         assert (prev == cand).all()
 
 
+class TestColorBudgetKeys:
+    """deferred_composite's ray_err_bc path (occ_budget_color): the
+    color-aware per-pair drop-cost keys against brute-force pair drops."""
+
+    def _setup(self, seed=0, J=4, sp=4, T=2, scale=3.0):
+        from dfanerf_tpu.ops.fused_render import R_T
+
+        rng = np.random.default_rng(seed)
+        n = T * R_T
+        S = J * sp
+
+        def buf(c_const=None):
+            sig = jnp.asarray(
+                rng.uniform(0, scale, (J, sp, n)).astype(np.float32))
+            rgb = [jnp.asarray(
+                np.full((J, sp, n), c_const, np.float32) if c_const
+                is not None else
+                rng.uniform(0, 1, (J, sp, n)).astype(np.float32))
+                for _ in range(3)]
+            return (sig, *rgb)
+
+        occ = jnp.ones((2, T, J), jnp.int32)
+        rd = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+        rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        z = jnp.linspace(0.1, 1.1, S)
+        bc = (jnp.full((n, 3), 0.5, jnp.float32) if seed == "const"
+              else jnp.asarray(
+                  rng.uniform(0, 1, (n, 3)).astype(np.float32)))
+        return buf, occ, rd, z, bc
+
+    def _composite(self, bh, bt, occ, rd, z, bc=None, sp=4):
+        from dfanerf_tpu.ops.fused_render import deferred_composite
+
+        return deferred_composite(bh, bt, occ, rd, rd, z, s_slab=sp,
+                                  with_ray_diag=True, ray_err_bc=bc)
+
+    def test_color_keys_never_exceed_mass_keys(self):
+        buf, occ, rd, z, bc = self._setup(0)
+        bh, bt = buf(), buf()
+        *_, m_h, m_t = self._composite(bh, bt, occ, rd, z)
+        *_, e_h, e_t = self._composite(bh, bt, occ, rd, z, bc=bc)
+        # |col - m*cb| <= m * max(c, cb) <= m for colors in [0, 1]
+        assert float((e_h - m_h).max()) <= 1e-5
+        assert float((e_t - m_t).max()) <= 1e-5
+
+    def test_uniform_color_scene_keys_are_zero(self):
+        """Every sample and the bg share one color -> dropping any pair
+        re-composites to the identical pixel -> color keys ~0 while the
+        mass keys stay large."""
+        buf, occ, rd, z, _ = self._setup(1)
+        bh, bt = buf(c_const=0.5), buf(c_const=0.5)
+        bc = jnp.full((rd.shape[0], 3), 0.5, jnp.float32)
+        *_, m_h, m_t = self._composite(bh, bt, occ, rd, z)
+        *_, e_h, e_t = self._composite(bh, bt, occ, rd, z, bc=bc)
+        assert float(m_h.max()) > 0.05  # masses are substantial...
+        assert float(e_h.max()) < 1e-5  # ...but the drop error is nil
+        assert float(e_t.max()) < 1e-5
+
+    def test_keys_track_brute_force_drop_error(self):
+        """Dropping each single pair and re-compositing (incl. the bg
+        epilogue): the realized max-ray |delta| must stay <= ~key + a
+        second-order slack, and the key must not overshoot wildly."""
+        buf, occ, rd, z, bc = self._setup(2, scale=1.0)
+        bh, bt = buf(), buf()
+        out = self._composite(bh, bt, occ, rd, z, bc=bc)
+        ah0, ac0, th0, tc0 = out[:4]
+        e_h, e_t = out[-2], out[-1]
+        com0 = ac0 + tc0 * bc
+        head0 = ah0 + th0 * bc
+        occ_np = np.asarray(occ)
+        T, J = occ_np.shape[1], occ_np.shape[2]
+        worst_ratio = 0.0
+        for f, ekeys in ((0, e_h), (1, e_t)):
+            for t in range(T):
+                for j in range(J):
+                    o = occ_np.copy()
+                    o[f, t, j] = 0
+                    o2 = self._composite(bh, bt, jnp.asarray(o), rd, z,
+                                         bc=bc)
+                    com1 = o2[1] + o2[3] * bc
+                    head1 = o2[0] + o2[2] * bc
+                    d = np.maximum(
+                        np.abs(np.asarray(com1 - com0)).max(-1),
+                        np.abs(np.asarray(head1 - head0)).max(-1),
+                    ).reshape(T, -1)[t].max()
+                    key = float(ekeys[j, t].max())
+                    if d > 1e-4:
+                        worst_ratio = max(worst_ratio, d / (key + 1e-9))
+        # first-order estimate: realized error within 2x of the key
+        assert worst_ratio < 2.0, worst_ratio
+
+
 class TestBudgetPrune:
     def test_error_bounded_by_budget(self, setup, monkeypatch):
         """Frames served under the budgeted prune stay within the budget

@@ -140,3 +140,44 @@ class TestHierPairRenderer:
         assert a.shape == b.shape == (24, 24, 3)
         assert np.isfinite(b).all()
         assert np.abs(a - b).max() < 0.02
+
+    def test_refresh_carry_staleness_bounded(self, setup, monkeypatch):
+        """With occ_refresh_every > 1 the hier renderer carries the
+        host-synced pair lists between refreshes (zero per-frame syncs);
+        frames inside the window must stay close to a per-frame-refresh
+        render of the same pose/signal, and the cadence must re-sync."""
+        monkeypatch.setenv("DFANERF_PALLAS_INTERPRET", "1")
+        import dataclasses
+
+        cfg, ds, state, data = setup
+        from dfanerf_tpu.render.renderer import (
+            make_head_hierarchical_renderer,
+        )
+
+        kw = dict(n_samples=16, n_importance=16, use_fused_kernel=True,
+                  occ_sigma_thresh=0.05, occ_grid_res=16, ert_eps=0.0,
+                  occ_pair_compaction=True)
+        cfg_fresh = dataclasses.replace(
+            cfg, render=dataclasses.replace(cfg.render, **kw))
+        cfg_carry = dataclasses.replace(
+            cfg, render=dataclasses.replace(cfg.render, **kw,
+                                            occ_refresh_every=3))
+        sig = jnp.zeros((cfg.decoder.dim_signal,))
+        r_carry = make_head_hierarchical_renderer(cfg_carry, ds.hwfcxy,
+                                                  ds.near, ds.far)
+
+        def frame(r, i):
+            return np.asarray(r(state["params"], state["z_shape"],
+                                state["z_app"], data["poses"][i % 4],
+                                sig, data["bc_img"]))
+
+        for i in range(5):  # spans a refresh boundary at i=3
+            # per-frame-refresh oracle: fresh renderer each frame
+            r_fresh = make_head_hierarchical_renderer(
+                cfg_fresh, ds.hwfcxy, ds.near, ds.far)
+            a = frame(r_fresh, i)
+            b = frame(r_carry, i)
+            assert np.isfinite(b).all(), i
+            # staleness-bounded: carried lists only DROP pairs the fresh
+            # importance march would keep; small pose motion keeps it tight
+            assert np.abs(a - b).max() < 0.05, (i, np.abs(a - b).max())
