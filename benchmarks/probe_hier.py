@@ -54,6 +54,10 @@ def main():
         )
     )
 
+    refresh = int(os.environ.get("DFANERF_HIER_REFRESH", "1"))
+    contrib = float(os.environ.get("DFANERF_HIER_CONTRIB", "3e-3"))
+    trans = float(os.environ.get("DFANERF_HIER_TRANS", "1e-3"))
+
     def make(thresh, ert, pairs):
         cfg = ExperimentConfig(
             decoder=dec,
@@ -62,7 +66,9 @@ def main():
                 use_fused_kernel=True, ert_eps=ert,
                 occ_sigma_thresh=thresh, occ_grid_res=grid,
                 occ_pair_compaction=pairs,
-                occ_prune_contrib=3e-3 if pairs else 0.0,
+                occ_refresh_every=refresh if pairs else 1,
+                occ_prune_trans=trans,
+                occ_prune_contrib=contrib if pairs else 0.0,
             ),
         )
         render = make_head_hierarchical_renderer(cfg, ds.hwfcxy, ds.near,
@@ -93,7 +99,7 @@ def main():
     h_pair = make(occ_thresh, 0.0, True)
     h_noskip = make(0.0, 0.0, False)
 
-    f_pair, f_pair_max = bench(h_pair)
+    f_pair, f_pair_max = bench(h_pair, warm=2 * refresh + 1)
     print(f"pair-compacted: {f_pair:.2f} fps (max {f_pair_max:.2f})",
           flush=True)
     f_pred, _ = bench(h_pred)
@@ -104,7 +110,8 @@ def main():
         out = h_noskip(i)
     out.block_until_ready()
     print(f"noskip:         {4 / (time.time() - t0):.2f} fps", flush=True)
-    errs = [float(jnp.abs(h_pair(i) - h_noskip(i)).max()) for i in range(3)]
+    errs = [float(jnp.abs(h_pair(i) - h_noskip(i)).max())
+            for i in range(max(2 * refresh, 3))]
     print(f"pair max_err vs noskip: {max(errs):.5f}", flush=True)
     errs2 = [float(jnp.abs(h_pred(i) - h_noskip(i)).max())
              for i in range(3)]

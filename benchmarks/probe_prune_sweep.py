@@ -66,6 +66,8 @@ def main():
                                 occ_prune_contrib=contrib,
                                 occ_prune_budget=budget,
                                 occ_budget_color=bool(color),
+                                occ_budget_iters=int(os.environ.get(
+                                    "DFANERF_BUDGET_ITERS", "1")),
                                 far_skip_tol=2e-3, far_subsample=int(fss),
                                 occ_prune_carry=3),
             train=cfg0.train,

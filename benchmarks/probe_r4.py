@@ -63,6 +63,8 @@ def main():
         "DFANERF_STATE_CACHE", "/root/repo/.cache/serve_state.ckpt")
     occ_thresh = float(os.environ.get("DFANERF_OCC_THRESH", "2.0"))
     prune = float(os.environ.get("DFANERF_PRUNE", "6e-3"))
+    budget = float(os.environ.get("DFANERF_BUDGET", "0"))
+    trans = float(os.environ.get("DFANERF_TRANS", "1e-3"))
     fss = int(os.environ.get("DFANERF_FSS", "4"))
     grid = int(os.environ.get("DFANERF_OCC_GRID", "48"))
     dec = DecoderConfig(density_activation="softplus")
@@ -74,6 +76,9 @@ def main():
                             occ_sigma_thresh=occ_thresh, occ_grid_res=grid,
                             occ_refresh_every=8, occ_pair_compaction=True,
                             occ_prune_contrib=prune, far_skip_tol=2e-3,
+                            occ_prune_budget=budget,
+                            occ_budget_color=budget > 0,
+                            occ_prune_trans=trans,
                             far_subsample=fss, occ_prune_carry=3),
         train=TrainConfig(n_rand=2048),
     )

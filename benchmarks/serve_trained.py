@@ -128,7 +128,8 @@ def _log(msg):
 
 def run(n_train=12000, occ_thresh=2.0, polish_steps=2000,
         distortion_lambda=3e-3, distortion_from=2000,
-        prune_contrib=6e-3, far_skip_tol=2e-3, prune_budget=0.0):
+        prune_contrib=0.0, far_skip_tol=2e-3, prune_budget=2e-3,
+        prune_trans=0.1, budget_color=True):
     """Train + polish + serve; returns the result dict (main() prints it).
 
     Recipe notes (measured on the 450p synthetic scene; every alternative
@@ -141,9 +142,14 @@ def run(n_train=12000, occ_thresh=2.0, polish_steps=2000,
       can't keep up with junk the main loss keeps growing;
     - a 2000-step lambda=0 POLISH after the distortion phase recovers
       ~2.5 dB (com 42.4 -> 44.9) while the field stays compact;
-    - occ_thresh 2.0 on the supersampled grid; contribution pruning at
-      6e-3 (the fps/error knee: same 0.0026 max error as 3e-3, ~10%
-      fewer pairs; 1e-2 doubles the error for +3% fps);
+    - occ_thresh 2.0 on the supersampled grid; COLOR-budgeted visibility
+      pruning at 2e-3 (occ_budget_color: the greedy's ledger bounds the
+      first-order per-ray pixel error, so same-colored interior pairs
+      drop ~2x harder than the mass/contrib modes at the same realized
+      error) + occ_prune_trans 0.1 (pairs behind saturated opacity,
+      which never consume budget); the measured knee: budget 0.0015 ->
+      err 0.0033, 0.002 -> 0.0041 (the round-3 error bar), 0.004 ->
+      0.0069;
     - far_skip_tol 2e-3: elide the catch-all far-plane programs when the
       refresh-time-measured c_mix deviation is under tolerance (softplus
       keeps sigma(far) > 0 everywhere, see config.far_skip_tol).
@@ -243,6 +249,9 @@ def run(n_train=12000, occ_thresh=2.0, polish_steps=2000,
                             occ_refresh_every=8, occ_pair_compaction=True,
                             occ_prune_contrib=prune_contrib,
                             occ_prune_budget=prune_budget,
+                            occ_budget_color=budget_color,
+                            occ_budget_iters=2,
+                            occ_prune_trans=prune_trans,
                             far_skip_tol=far_skip_tol, far_subsample=8,
                             occ_prune_carry=3),
         train=cfgP.train,
@@ -346,6 +355,8 @@ def run(n_train=12000, occ_thresh=2.0, polish_steps=2000,
             "density_activation": "softplus",
             "occ_prune_contrib": prune_contrib,
             "occ_prune_budget": prune_budget,
+            "occ_budget_color": budget_color,
+            "occ_prune_trans": prune_trans,
             "far_skip_tol": far_skip_tol,
             "polish_rejected": bool(polish_rejected),
             "occ_sigma_thresh": occ_thresh,

@@ -119,6 +119,17 @@ class RenderConfig:
     # same realized error. The estimate is first-order (renormalization
     # is linearized), so unlike mass mode the budget is a calibrated
     # target rather than a hard bound; benchmarks report realized error.
+    occ_budget_iters: int = 1  # iterative budgeted-drop refinement in the
+    # OFFLINE per-slot prep (refresh_union(per_slot=True)): after each
+    # drop round, re-render the slot's diagnostic composite under the
+    # pruned flags, measure the REALIZED per-ray error against the
+    # unpruned render, and run the greedy again with that measured error
+    # seeding every ray's ledger (budget_drop_masks base). The
+    # first-order keys underestimate multi-drop interactions ~2x; the
+    # measured baseline absorbs that, so round 2 drops the pairs round 1
+    # was too conservative to take at the SAME realized error. Each extra
+    # round costs one diagnostic render per window slot at prep time.
+    # 1 = single round (the live path always uses 1).
     far_skip_tol: float = 0.0  # pair-compaction catch-all elision: with
     # last_dist >= 1e8 the far-plane alphas saturate to EXACTLY 1.0 in
     # f32 (exp(-(sigma+2e-6)*1e10) underflows for any sigma >= 0), so the

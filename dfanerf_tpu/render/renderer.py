@@ -25,7 +25,8 @@ from dfanerf_tpu.train.signals import encode_signal, encode_signal_torso
 
 
 def budget_drop_masks(wr_h: np.ndarray, wr_t: np.ndarray,
-                      cand: np.ndarray, budget: float) -> np.ndarray:
+                      cand: np.ndarray, budget: float,
+                      base: np.ndarray = None) -> np.ndarray:
     """Greedy budgeted pair-drop decision (RenderConfig.occ_prune_budget).
 
     wr_h/wr_t [J, K, R] — per-ray drop cost of each field's (tile, slab)
@@ -49,7 +50,14 @@ def budget_drop_masks(wr_h: np.ndarray, wr_t: np.ndarray,
     order = np.argsort(key, axis=1)
     Ws = np.take_along_axis(Wm, order[:, None, :], axis=2)
     feas = np.take_along_axis(key, order, axis=1) < np.inf
-    ok = (Ws.cumsum(axis=2).max(axis=1) <= budget) & feas
+    cum = Ws.cumsum(axis=2)
+    if base is not None:
+        # iterative refinement (occ_budget_iters): seed each ray's ledger
+        # with the REALIZED error of the previous drop round, so this
+        # round's first-order keys extend a measured baseline instead of
+        # compounding estimates
+        cum = cum + base[:, :, None]
+    ok = (cum.max(axis=1) <= budget) & feas
     drop_sorted = np.cumprod(ok, axis=1).astype(bool)
     drop = np.zeros_like(ok)
     np.put_along_axis(drop, order, drop_sorted, axis=1)
@@ -809,7 +817,8 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         full[tiles_u] = np.asarray(x_sub)[:len(tiles_u)]
         return full
 
-    def prune_flags(tm_h, tm_c, cb_h, cb_t, wr_h=None, wr_t=None, st=None):
+    def prune_flags(tm_h, tm_c, cb_h, cb_t, wr_h=None, wr_t=None, st=None,
+                    base_led=None):
         """Keep-masks [T, J] from one frame's composite diagnostics
         (compacted coordinates, expanded here): drop pairs saturated
         behind opacity (occ_prune_trans, tile-max transmittance) or
@@ -844,8 +853,13 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             kc = np.ones((2, K, J), bool)
             kc[0, :k_u] = keep_h[tiles_u]
             kc[1, :k_u] = keep_t[tiles_u]
+            base = None
+            if base_led is not None:
+                base = np.zeros((K, R_T), np.float32)
+                base[:k_u] = base_led[tiles_u]
             drop = budget_drop_masks(np.asarray(wr_h), np.asarray(wr_t),
-                                     cand & kc, rcfg.occ_prune_budget)
+                                     cand & kc, rcfg.occ_prune_budget,
+                                     base=base)
             full = np.zeros((2, T, J), bool)
             full[:, tiles_u] = drop[:, :k_u]
             keep_h &= ~full[0]
@@ -859,6 +873,14 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
     _SLOT_KEYS = ("lists", "occ", "tiles_u", "tiles_sel", "occ_sub",
                   "tiles_scatter", "far_skip", "far_cmix_err",
                   "lists2", "occ_sub_a", "occ_sub_b")
+
+    @jax.jit
+    def err_led_fn(h0, c0, h1, c1):
+        """Realized per-ray error of a pruned render vs the unpruned one
+        (max over channels and both output images), in tile-ray order
+        [T, R_T] — the iterative budget refinement's measured ledger."""
+        e = jnp.maximum(jnp.abs(h1 - h0).max(-1), jnp.abs(c1 - c0).max(-1))
+        return tile_order(e[..., None])[:, 0].reshape(T, R_T)
 
     def refresh_union(window_inputs, per_slot=False):
         """Serving prep over a window of prepped frame inputs (each an
@@ -879,16 +901,30 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         The union state remains the default for slot-less render calls."""
         slots = []
         if per_slot:
+            iters = (max(int(rcfg.occ_budget_iters), 1) if budget_on
+                     else 1)
             for inp in window_inputs:
                 set_flags(occ_fn(inp))
                 update_far_skip([inp])
                 if prune_on:
-                    _, tm_h, tm_c, cb_h, cb_t, *wr = run_pipeline(
+                    imgs0, tm_h, tm_c, cb_h, cb_t, *wr = run_pipeline(
                         inp, diag=True)
                     kh, kt = prune_flags(tm_h, tm_c, cb_h, cb_t, *wr)
                     occ_np = np.asarray(cache["occ"])
                     set_flags(np.stack([occ_np[0] * kh, occ_np[1] * kt]),
                               tag="pruned-slot")
+                    for _ in range(iters - 1):
+                        imgs1, tm1, tc1, cb1, ct1, *wr1 = run_pipeline(
+                            inp, diag=True)
+                        led = np.asarray(err_led_fn(
+                            imgs0[0], imgs0[1], imgs1[0], imgs1[1]))
+                        kh2, kt2 = prune_flags(tm1, tc1, cb1, ct1, *wr1,
+                                               base_led=led)
+                        kh &= kh2
+                        kt &= kt2
+                        set_flags(
+                            np.stack([occ_np[0] * kh, occ_np[1] * kt]),
+                            tag="pruned-slot")
                 slots.append({k: cache.get(k) for k in _SLOT_KEYS})
         occ = occ_fn(window_inputs[0])
         for inp in window_inputs[1:]:
@@ -1093,6 +1129,50 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
 
         return finish
 
+    # kern2+finish in ONE jit program: the Pallas calls feed the composite
+    # epilogue directly, saving a dispatch round trip and ~1.5 ms of
+    # inter-program latency per frame (measured; see probe_r4 MERGE rows).
+    # The historical composed-program kernel fault needed a GATHER in
+    # front of the kernels in the same program — kernels + epilogue alone
+    # run clean. DFANERF_NO_MERGE_FINISH=1 restores the split programs.
+    merged_cache = {}
+    merge_finish = not os.environ.get("DFANERF_NO_MERGE_FINISH")
+
+    def make_kern2_finish(with_far):
+        # calling the jitted stages inside the outer jit traces through
+        # them — one fused XLA program, no nested dispatch
+        kern2 = make_kern2(with_far)
+        fin = make_finish(with_far)
+
+        if rcfg.occ_pack2:
+            @jax.jit
+            def merged(pw_h, pw_t, oh, dh, vh, ot, dt, vt, lh, lt, ph, pt,
+                       vrtf, rd_g, rd_t_g, occ_a, occ_b, rd, rd_t, bc_p,
+                       tiles_scatter):
+                buf_h, buf_t, far_vals = kern2(pw_h, pw_t, oh, dh, vh, ot,
+                                               dt, vt, lh, lt, ph, pt,
+                                               vrtf)
+                a = (rd_g, rd_t_g, buf_h, buf_t, (occ_a, occ_b))
+                if with_far:
+                    return fin(*a, far_vals, rd, rd_t, bc_p, tiles_scatter)
+                return fin(*a, rd, rd_t, bc_p, tiles_scatter)
+
+            return merged
+
+        @jax.jit
+        def merged(pw_h, pw_t, oh, dh, vh, ot, dt, vt, ti_h, ji_h, ti_t,
+                   ji_t, ph, pt, vrtf, rd_g, rd_t_g, occ_sub, rd, rd_t,
+                   bc_p, tiles_scatter):
+            buf_h, buf_t, far_vals = kern2(pw_h, pw_t, oh, dh, vh, ot, dt,
+                                           vt, ti_h, ji_h, ti_t, ji_t, ph,
+                                           pt, vrtf)
+            a = (rd_g, rd_t_g, buf_h, buf_t, occ_sub)
+            if with_far:
+                return fin(*a, far_vals, rd, rd_t, bc_p, tiles_scatter)
+            return fin(*a, rd, rd_t, bc_p, tiles_scatter)
+
+        return merged
+
     def run_fast(params, z_shape, z_app, pose, pose_torso, signal,
                  signal_torso, bc_img, st=None):
         st = st if st is not None else cache
@@ -1107,6 +1187,13 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         if rcfg.occ_pack2:
             lh, lt = st["lists2"]
             ck = (int(lh[0].shape[0]), int(lt[0].shape[0]), k_u, far_skip)
+            if merge_finish:
+                if ck not in merged_cache:
+                    merged_cache[ck] = make_kern2_finish(not far_skip)
+                return merged_cache[ck](
+                    pw_h, pw_t, oh, dh, vh, ot, dt, vt, lh, lt, ph, pt,
+                    vrtf, rd_g, rd_t_g, st["occ_sub_a"], st["occ_sub_b"],
+                    rd, rd_t, bc_p, st["tiles_scatter"])
             if ck not in kern2_cache:
                 kern2_cache[ck] = make_kern2(not far_skip)
             buf_h, buf_t, far_vals = kern2_cache[ck](
@@ -1116,6 +1203,13 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             ti_h, ji_h = st["lists"][0]
             ti_t, ji_t = st["lists"][1]
             ck = (int(ti_h.shape[0]), int(ti_t.shape[0]), k_u, far_skip)
+            if merge_finish:
+                if ck not in merged_cache:
+                    merged_cache[ck] = make_kern2_finish(not far_skip)
+                return merged_cache[ck](
+                    pw_h, pw_t, oh, dh, vh, ot, dt, vt, ti_h, ji_h, ti_t,
+                    ji_t, ph, pt, vrtf, rd_g, rd_t_g, st["occ_sub"],
+                    rd, rd_t, bc_p, st["tiles_scatter"])
             if ck not in kern2_cache:
                 kern2_cache[ck] = make_kern2(not far_skip)
             buf_h, buf_t, far_vals = kern2_cache[ck](

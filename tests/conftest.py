@@ -57,6 +57,7 @@ _SLOW_TESTS = {
     "test_error_bounded_by_budget",
     "test_budget_monotonic_in_pairs",
     "test_budget_supersedes_contrib",
+    "test_per_slot_iterative_refinement",
     "test_full_chain_steps_2_to_9",
     "test_loss_decreases",
     "test_dynamic_speaker_branch_follows_speak_frames",

@@ -266,3 +266,42 @@ class TestBudgetPrune:
         _frames(solo, state, data, sig, sig_t, 1)
         assert (float(np.asarray(both.cache["occ"]).sum())
                 == float(np.asarray(solo.cache["occ"]).sum()))
+
+    def test_per_slot_iterative_refinement(self, setup, monkeypatch):
+        """refresh_union(per_slot=True) with occ_budget_iters=2 (the
+        offline serving prep): round 2 drops at least as many pairs as
+        round 1 alone, frames served under the refined per-slot flags
+        stay error-bounded, and the color-key path runs end to end."""
+        monkeypatch.setenv("DFANERF_PALLAS_INTERPRET", "1")
+        cfg0, ds, state, data = setup
+        sig = jnp.zeros((cfg0.decoder.dim_signal,))
+        sig_t = jnp.zeros((cfg0.decoder.dim_et_embed,))
+        ref = _make(cfg0, ds)
+        ref_out = _frames(ref, state, data, sig, sig_t, 2)
+
+        def prep(iters):
+            render = _make(cfg0, ds, **SKIP, occ_prune_budget=0.01,
+                           occ_budget_color=True, occ_budget_iters=iters)
+            window = [render.inputs_fn(
+                state["params"], state["z_shape"], state["z_app"],
+                data["poses"][i], data["poses"][0], sig, sig_t,
+                data["bc_img"],
+            ) for i in range(2)]
+            render.refresh_union(window, per_slot=True)
+            return render
+
+        r1, r2 = prep(1), prep(2)
+        pairs1 = sum(float(np.asarray(s["occ"]).sum())
+                     for s in r1.cache["slots"])
+        pairs2 = sum(float(np.asarray(s["occ"]).sum())
+                     for s in r2.cache["slots"])
+        assert pairs2 <= pairs1, "round 2 un-dropped pairs"
+        for i in range(2):
+            out = np.asarray(r2(
+                state["params"], state["z_shape"], state["z_app"],
+                data["poses"][i], data["poses"][0], sig, sig_t,
+                data["bc_img"], window_slot=i,
+            )[1])
+            assert np.isfinite(out).all()
+            err = np.abs(out - ref_out[i]).max()
+            assert err < 0.05, f"slot {i}: refined prune err {err}"
