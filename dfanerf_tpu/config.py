@@ -127,9 +127,15 @@ class RenderConfig:
     # seeding every ray's ledger (budget_drop_masks base). The
     # first-order keys underestimate multi-drop interactions ~2x; the
     # measured baseline absorbs that, so round 2 drops the pairs round 1
-    # was too conservative to take at the SAME realized error. Each extra
-    # round costs one diagnostic render per window slot at prep time.
-    # 1 = single round (the live path always uses 1).
+    # was too conservative to take at the SAME realized error. Every
+    # refinement round is VERIFIED: a further render measures the
+    # realized per-tile error of the new drops, and tiles whose error
+    # grew by more than the budget get this round's drops restored (the
+    # first-order keys can be ~4x off on mid-alpha surface pairs; the
+    # verify-revert makes the refinement never worse than the measured
+    # round-1 error + budget per tile). Each extra round costs two
+    # renders per window slot at prep time. 1 = single round (the live
+    # path always uses 1).
     far_skip_tol: float = 0.0  # pair-compaction catch-all elision: with
     # last_dist >= 1e8 the far-plane alphas saturate to EXACTLY 1.0 in
     # f32 (exp(-(sigma+2e-6)*1e10) underflows for any sigma >= 0), so the

@@ -913,18 +913,48 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                     occ_np = np.asarray(cache["occ"])
                     set_flags(np.stack([occ_np[0] * kh, occ_np[1] * kt]),
                               tag="pruned-slot")
-                    for _ in range(iters - 1):
+                    for it in range(iters - 1):
                         imgs1, tm1, tc1, cb1, ct1, *wr1 = run_pipeline(
                             inp, diag=True)
                         led = np.asarray(err_led_fn(
                             imgs0[0], imgs0[1], imgs1[0], imgs1[1]))
                         kh2, kt2 = prune_flags(tm1, tc1, cb1, ct1, *wr1,
                                                base_led=led)
-                        kh &= kh2
-                        kt &= kt2
+                        kh_new, kt_new = kh & kh2, kt & kt2
                         set_flags(
-                            np.stack([occ_np[0] * kh, occ_np[1] * kt]),
+                            np.stack([occ_np[0] * kh_new,
+                                      occ_np[1] * kt_new]),
                             tag="pruned-slot")
+                        # VERIFY-AND-REVERT: the first-order keys break
+                        # down on mid-alpha pairs (a single surface pair
+                        # can realize 4x its estimate); re-render under
+                        # the refined flags, measure the realized per-tile
+                        # error, and restore this round's drops in every
+                        # tile whose realized error grew by more than the
+                        # budget — the refinement then never costs more
+                        # than ~budget per tile over the measured round-1
+                        # error, whatever the estimates missed
+                        imgs2 = run_pipeline(inp)
+                        led2 = np.asarray(err_led_fn(
+                            imgs0[0], imgs0[1], imgs2[0], imgs2[1]))
+                        bad = (led2.max(1) > led.max(1)
+                               + rcfg.occ_prune_budget)
+                        if os.environ.get("DFANERF_DEBUG_COMPACTION"):
+                            print(f"[pairs:iter{it + 1}] led_max="
+                                  f"{led.max():.4f} led2_max="
+                                  f"{led2.max():.4f} extra_drops="
+                                  f"{int((kh & ~kh2).sum())}+"
+                                  f"{int((kt & ~kt2).sum())} "
+                                  f"reverted_tiles={int(bad.sum())}",
+                                  flush=True)
+                        if bad.any():
+                            kh_new[bad] = kh[bad]
+                            kt_new[bad] = kt[bad]
+                            set_flags(
+                                np.stack([occ_np[0] * kh_new,
+                                          occ_np[1] * kt_new]),
+                                tag="pruned-slot")
+                        kh, kt = kh_new, kt_new
                 slots.append({k: cache.get(k) for k in _SLOT_KEYS})
         occ = occ_fn(window_inputs[0])
         for inp in window_inputs[1:]:
@@ -1176,6 +1206,7 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
     def run_fast(params, z_shape, z_app, pose, pose_torso, signal,
                  signal_torso, bc_img, st=None):
         st = st if st is not None else cache
+        executed_cks.add(_ck_of(st))  # this class compiles at this call
         k_u = int(st["tiles_sel"].shape[0])
         if k_u not in prep_cache:
             prep_cache[k_u] = make_prep()
@@ -1239,8 +1270,15 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
     import threading as _threading
 
     worker = {"thread": None, "result": None, "error": None, "fails": 0}
+    executed_cks = set()  # program classes run_fast has actually executed
 
-    def _refresh_async(inputs, keeps, keep_age):
+    def _ck_of(st):
+        k_u = int(st["tiles_sel"].shape[0])
+        lists = st["lists2"] if rcfg.occ_pack2 else st["lists"]
+        return (int(lists[0][0].shape[0]), int(lists[1][0].shape[0]),
+                k_u, bool(st.get("far_skip", False)))
+
+    def _refresh_async(inputs, keeps, keep_age, raw_args):
         try:
             st = {}
             occ = occ_fn(inputs)
@@ -1266,8 +1304,15 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                     occ_np = np.asarray(st["occ"])
                     set_flags(np.stack([occ_np[0] * kh, occ_np[1] * kt]),
                               tag="pruned-async", into=st)
-            fast_parts(st)  # first-seen pair-count compiles happen HERE,
-            # off the stream — a compile stalls the swap, not the frames
+            # first-seen pair-count COMPILES happen here, off the stream:
+            # building the jit wrappers is not enough (compilation fires
+            # at the first call), so a genuinely new program class renders
+            # one throwaway frame against the snapshot inputs — the swap
+            # stalls on the compile, the served frames never do
+            fast_parts(st)
+            if _ck_of(st) not in executed_cks:
+                jax.block_until_ready(run_fast(*raw_args, st=st))
+                executed_cks.add(_ck_of(st))
             worker["result"] = (st, keeps, keep_age)
         except Exception as e:  # noqa: BLE001 — surfaced via _poll_worker
             worker["error"] = e
@@ -1316,7 +1361,9 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                 worker["thread"] = _threading.Thread(
                     target=_refresh_async,
                     args=(inputs, cache.get("keeps"),
-                          cache.get("keep_age", 0)),
+                          cache.get("keep_age", 0),
+                          (params, z_shape, z_app, pose, pose_torso,
+                           signal, signal_torso, bc_img)),
                     daemon=True,
                 )
                 worker["thread"].start()
@@ -1367,9 +1414,12 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         return imgs
 
     def fast_parts(st):
-        """Diagnostics hook: the three compiled fast-path programs for a
-        given flag state (prep, kern2, finish) so benchmarks can time
-        each program separately."""
+        """Diagnostics hook AND async-refresh precompile: the fast-path
+        programs for a given flag state. Builds whatever run_fast will
+        actually dispatch — the MERGED kern2+finish program when
+        merge_finish is on (so the async worker's first-seen pair counts
+        compile off the stream), plus the split programs for the stage
+        benchmarks. Returns (prep, kern2, finish) split handles."""
         k_u = int(st["tiles_sel"].shape[0])
         if k_u not in prep_cache:
             prep_cache[k_u] = make_prep()
@@ -1379,6 +1429,8 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             ti_h, ti_t = st["lists"][0][0], st["lists"][1][0]
         far_skip = bool(st.get("far_skip", False))
         ck = (int(ti_h.shape[0]), int(ti_t.shape[0]), k_u, far_skip)
+        if merge_finish and ck not in merged_cache:
+            merged_cache[ck] = make_kern2_finish(not far_skip)
         if ck not in kern2_cache:
             kern2_cache[ck] = make_kern2(not far_skip)
         fk = (far_skip, k_u)
@@ -1577,7 +1629,7 @@ def _make_hier_pair_renderer(cfg: ExperimentConfig, hwfcxy, near: float,
     pair list] -> fine pair kernel -> composite+scatter. Pair/tile counts
     are bucketed so steady state reuses a handful of compiled programs.
     """
-    from dfanerf_tpu.core.compositing import volume_render
+    from dfanerf_tpu.core.compositing import calc_volume_weights
     from dfanerf_tpu.core.sampling import hierarchical_z_vals
     from dfanerf_tpu.ops.fused_render import (
         R_T, S_SLAB, deferred_composite_head, occupancy_flags_and_sat,
@@ -1689,10 +1741,10 @@ def _make_hier_pair_renderer(cfg: ExperimentConfig, hwfcxy, near: float,
                 x = jnp.where(flag, x, 0.0).reshape(S_c, n_u)
                 sigma_c = x.T.at[:, -1].add(1e-6)  # bg-concat density bump
                 z_b = jnp.broadcast_to(z_c, (n_u, S_c))
-                _, weights = volume_render(
-                    z_b, rd_g, sigma_c[None],
-                    jnp.zeros((1, n_u, S_c, 3)), last_dist=rcfg.last_dist,
-                )
+                # weights only (volume_render with a zero feature map just
+                # wastes an [n, S, 3] accumulate); same math bit for bit
+                weights = calc_volume_weights(z_b, rd_g, sigma_c,
+                                              last_dist=rcfg.last_dist)
                 z_fine = hierarchical_z_vals(
                     z_b, weights, rcfg.n_importance, det=True)  # [n_u, S_f]
                 occ_f, _ = occupancy_flags_and_sat(
