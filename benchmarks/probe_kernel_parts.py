@@ -2,6 +2,15 @@
 pieces removed (PE, biases, relu, rgb head) to find the non-MXU share.
 Synthetic weights — timing only, no semantics.
 
+WARNING — SYNTHETIC TIMINGS, DO NOT TUNE AGAINST THIS PROBE. Its
+standalone variants have repeatedly disagreed with in-situ measurement
+of the real serving kernel (different grid sizes, no prep/finish
+neighbors competing for VMEM/HBM, different Mosaic scheduling): round-4
+notes measured deltas here that did NOT reproduce when the same change
+was applied to ops/fused_render.py, and vice versa. Treat the output as
+a hypothesis generator only; validate every candidate change by timing
+benchmarks/serve_trained.py stages in place.
+
     python benchmarks/probe_kernel_parts.py
 """
 

@@ -9,6 +9,13 @@ Variants (all synthetic weights, timing only):
   ilv2    - two pairs as SEPARATE interleavable chains, K/2 steps
   ilv2bf  - ilv2 with bf16 epilogues
 
+WARNING — SYNTHETIC TIMINGS, DO NOT TUNE AGAINST THIS PROBE. The
+standalone kernel variants here have disagreed with in-situ timing of
+the real serving path (round-4 notes: the packed-2 win this probe
+predicted did not materialize at the measured size in
+serve_trained.py). Use it to generate hypotheses only; accept or reject
+a change by timing benchmarks/serve_trained.py stages in place.
+
     python benchmarks/probe_pair_sched.py
 """
 

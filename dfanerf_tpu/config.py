@@ -107,6 +107,13 @@ class RenderConfig:
     # sit behind saturated opacity and do not consume budget). Lets the
     # prune run ~2x more aggressive than occ_prune_contrib at the SAME
     # realized error. 0 disables; benchmarks report realized error.
+    # NOTE: the ~<=budget bound holds in MASS mode (occ_budget_color
+    # False). With occ_budget_color the keys are first-order pixel-error
+    # ESTIMATES that can realize ~4x the budget on mid-alpha surface
+    # pairs; the offline per-slot prep verifies and reverts
+    # (occ_budget_iters), but the live/async path always runs a single
+    # unverified round and relies on the calibrated-target semantics —
+    # benchmarks report the realized live error separately.
     occ_budget_color: bool = False  # budget the prune in COLOR error
     # instead of raw mass: the greedy's per-ray ledger accumulates a
     # first-order estimate of each dropped pair's pixel-error —

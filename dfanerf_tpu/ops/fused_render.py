@@ -47,8 +47,15 @@ PE_PAD = 64
 
 def _interp(flag):
     """Resolve a pallas interpret flag: explicit wins; otherwise the
-    DFANERF_PALLAS_INTERPRET env var (checked at call time so CPU tests
-    can exercise the serving renderer paths without TPU hardware)."""
+    DFANERF_PALLAS_INTERPRET env var (so CPU tests can exercise the
+    serving renderer paths without TPU hardware).
+
+    LATCHED AT FIRST TRACE: these calls sit inside jitted closures, so
+    the env var is read when the enclosing program first traces and the
+    resolved value is baked into the compiled artifact. Flipping the env
+    var later in the same process does NOT retrace already-compiled
+    programs — set it before building any renderer (tests set it in
+    conftest, before imports trigger tracing)."""
     if flag is None:
         return bool(int(os.environ.get("DFANERF_PALLAS_INTERPRET", "0")))
     return flag

@@ -789,9 +789,9 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                 (inputs[0], ro_g, rd_g, "head", st["lists"][0]),
                 (inputs[1], ro_t_g, rd_t_g, "torso", st["lists"][1])):
             ck = (int(ti.shape[0]), int(ro_g.shape[0]), branch)
-            if ck not in kernel_cache:
-                kernel_cache[ck] = make_kernel(branch)
-            bufs.append(kernel_cache[ck](pw, o, d, ti, ji))
+            kern = _get_or_make(kernel_cache, ck,
+                                lambda b=branch: make_kernel(b))
+            bufs.append(kern(pw, o, d, ti, ji))
         far_skip = st.get("far_skip", False)
         far_vals = None if far_skip else far_fn(inputs)
         if diag:
@@ -1203,15 +1203,42 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
 
         return merged
 
+    # jit-cache dicts are touched from BOTH the serving thread and the
+    # async refresh worker: insertions go through _get_or_make under one
+    # lock (concurrent first-touch of a key would build duplicate jit
+    # wrappers and compile twice). Calling an already-inserted jitted
+    # function concurrently is fine — JAX dispatch/compilation is
+    # thread-safe; the lock only guards the dict bookkeeping.
+    import threading as _threading
+
+    _cache_lock = _threading.Lock()
+
+    def _get_or_make(d, key, factory):
+        with _cache_lock:
+            if key not in d:
+                d[key] = factory()
+            return d[key]
+
     def run_fast(params, z_shape, z_app, pose, pose_torso, signal,
                  signal_torso, bc_img, st=None):
         st = st if st is not None else cache
-        executed_cks.add(_ck_of(st))  # this class compiles at this call
+        out = _run_fast_inner(params, z_shape, z_app, pose, pose_torso,
+                              signal, signal_torso, bc_img, st)
+        # mark the program class as executed only AFTER the dispatch
+        # returned (jit compiles synchronously at the first call, so
+        # reaching here means the compile succeeded) — marking at entry
+        # left a failed async compile's class marked, making a later swap
+        # to it skip the off-stream precompile and stall the stream
+        with _cache_lock:
+            executed_cks.add(_ck_of(st))
+        return out
+
+    def _run_fast_inner(params, z_shape, z_app, pose, pose_torso, signal,
+                        signal_torso, bc_img, st):
         k_u = int(st["tiles_sel"].shape[0])
-        if k_u not in prep_cache:
-            prep_cache[k_u] = make_prep()
+        prep = _get_or_make(prep_cache, k_u, make_prep)
         (pw_h, pw_t, oh, dh, vh, ot, dt, vt, rd_g, rd_t_g, ph, pt, vrtf,
-         rd, rd_t, bc_p) = prep_cache[k_u](
+         rd, rd_t, bc_p) = prep(
             params, z_shape, z_app, pose, pose_torso, signal,
             signal_torso, bc_img, st["tiles_sel"])
         far_skip = bool(st.get("far_skip", False))
@@ -1219,15 +1246,15 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             lh, lt = st["lists2"]
             ck = (int(lh[0].shape[0]), int(lt[0].shape[0]), k_u, far_skip)
             if merge_finish:
-                if ck not in merged_cache:
-                    merged_cache[ck] = make_kern2_finish(not far_skip)
-                return merged_cache[ck](
+                merged = _get_or_make(merged_cache, ck,
+                                      lambda: make_kern2_finish(not far_skip))
+                return merged(
                     pw_h, pw_t, oh, dh, vh, ot, dt, vt, lh, lt, ph, pt,
                     vrtf, rd_g, rd_t_g, st["occ_sub_a"], st["occ_sub_b"],
                     rd, rd_t, bc_p, st["tiles_scatter"])
-            if ck not in kern2_cache:
-                kern2_cache[ck] = make_kern2(not far_skip)
-            buf_h, buf_t, far_vals = kern2_cache[ck](
+            kern2 = _get_or_make(kern2_cache, ck,
+                                 lambda: make_kern2(not far_skip))
+            buf_h, buf_t, far_vals = kern2(
                 pw_h, pw_t, oh, dh, vh, ot, dt, vt, lh, lt, ph, pt, vrtf)
             occ_sub = (st["occ_sub_a"], st["occ_sub_b"])
         else:
@@ -1235,28 +1262,26 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             ti_t, ji_t = st["lists"][1]
             ck = (int(ti_h.shape[0]), int(ti_t.shape[0]), k_u, far_skip)
             if merge_finish:
-                if ck not in merged_cache:
-                    merged_cache[ck] = make_kern2_finish(not far_skip)
-                return merged_cache[ck](
+                merged = _get_or_make(merged_cache, ck,
+                                      lambda: make_kern2_finish(not far_skip))
+                return merged(
                     pw_h, pw_t, oh, dh, vh, ot, dt, vt, ti_h, ji_h, ti_t,
                     ji_t, ph, pt, vrtf, rd_g, rd_t_g, st["occ_sub"],
                     rd, rd_t, bc_p, st["tiles_scatter"])
-            if ck not in kern2_cache:
-                kern2_cache[ck] = make_kern2(not far_skip)
-            buf_h, buf_t, far_vals = kern2_cache[ck](
+            kern2 = _get_or_make(kern2_cache, ck,
+                                 lambda: make_kern2(not far_skip))
+            buf_h, buf_t, far_vals = kern2(
                 pw_h, pw_t, oh, dh, vh, ot, dt, vt, ti_h, ji_h, ti_t,
                 ji_t, ph, pt, vrtf)
             occ_sub = st["occ_sub"]
         fk = (far_skip, k_u)
-        if fk not in finish_cache:
-            finish_cache[fk] = make_finish(not far_skip)
+        fin = _get_or_make(finish_cache, fk,
+                           lambda: make_finish(not far_skip))
         if far_skip:
-            return finish_cache[fk](rd_g, rd_t_g, buf_h, buf_t,
-                                    occ_sub, rd, rd_t, bc_p,
-                                    st["tiles_scatter"])
-        return finish_cache[fk](rd_g, rd_t_g, buf_h, buf_t,
-                                occ_sub, far_vals, rd, rd_t,
-                                bc_p, st["tiles_scatter"])
+            return fin(rd_g, rd_t_g, buf_h, buf_t, occ_sub, rd, rd_t,
+                       bc_p, st["tiles_scatter"])
+        return fin(rd_g, rd_t_g, buf_h, buf_t, occ_sub, far_vals, rd,
+                   rd_t, bc_p, st["tiles_scatter"])
 
     # ---------------- async (double-buffered) live refresh ----------------
     # The stream never waits for a refresh: a worker thread builds the next
@@ -1310,9 +1335,13 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             # one throwaway frame against the snapshot inputs — the swap
             # stalls on the compile, the served frames never do
             fast_parts(st)
-            if _ck_of(st) not in executed_cks:
+            with _cache_lock:
+                seen = _ck_of(st) in executed_cks
+            if not seen:
+                # run_fast marks the class executed after the blocked
+                # dispatch succeeds; a compile failure propagates here and
+                # leaves the class unmarked for the next attempt
                 jax.block_until_ready(run_fast(*raw_args, st=st))
-                executed_cks.add(_ck_of(st))
             worker["result"] = (st, keeps, keep_age)
         except Exception as e:  # noqa: BLE001 — surfaced via _poll_worker
             worker["error"] = e
@@ -1421,22 +1450,22 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         compile off the stream), plus the split programs for the stage
         benchmarks. Returns (prep, kern2, finish) split handles."""
         k_u = int(st["tiles_sel"].shape[0])
-        if k_u not in prep_cache:
-            prep_cache[k_u] = make_prep()
+        prep = _get_or_make(prep_cache, k_u, make_prep)
         if rcfg.occ_pack2:
             ti_h, ti_t = st["lists2"][0][0], st["lists2"][1][0]
         else:
             ti_h, ti_t = st["lists"][0][0], st["lists"][1][0]
         far_skip = bool(st.get("far_skip", False))
         ck = (int(ti_h.shape[0]), int(ti_t.shape[0]), k_u, far_skip)
-        if merge_finish and ck not in merged_cache:
-            merged_cache[ck] = make_kern2_finish(not far_skip)
-        if ck not in kern2_cache:
-            kern2_cache[ck] = make_kern2(not far_skip)
+        if merge_finish:
+            _get_or_make(merged_cache, ck,
+                         lambda: make_kern2_finish(not far_skip))
+        kern2 = _get_or_make(kern2_cache, ck,
+                             lambda: make_kern2(not far_skip))
         fk = (far_skip, k_u)
-        if fk not in finish_cache:
-            finish_cache[fk] = make_finish(not far_skip)
-        return prep_cache[k_u], kern2_cache[ck], finish_cache[fk]
+        fin = _get_or_make(finish_cache, fk,
+                           lambda: make_finish(not far_skip))
+        return prep, kern2, fin
 
     render.inputs_fn = inputs_fn
     render.refresh_union = refresh_union
