@@ -174,6 +174,18 @@ class RenderConfig:
     # render every (occ_prune_carry + 1)-th refresh. 0 = re-derive at
     # every refresh (no carry). The staleness error is covered by the
     # benchmarks' max-error-vs-noskip discipline across carried windows.
+    occ_prune_hist_decay: float = 0.0  # live-mode prune-staleness guard:
+    # keep-mask derivation keys (the budget greedy's per-(pair, ray) cost
+    # estimates and the trans prune's tile transmittances) are taken as
+    # the RUNNING MAX over refresh cycles, each cycle decaying the stored
+    # history by this factor before the max. A pair that mattered on any
+    # recent frame keeps a large key and is not dropped just because the
+    # CURRENT snapshot's first-order estimate is ~0 — exactly the failure
+    # that dominated the round-4 live error (a color-keyed drop whose
+    # estimate was 0 under the refresh signal realized 0.034 when the
+    # signal moved; flags alone were 10x tighter). 0 disables (the
+    # offline per-slot prep never uses history: each slot is pinned to
+    # its own frame). ~0.7 covers the last 2-3 full-derive cycles.
     occ_async_refresh: bool = False  # live-mode double-buffered flag
     # refresh: the stream keeps serving under the CURRENT flag state while
     # a background thread computes the next one (conservative occupancy +

@@ -125,5 +125,11 @@ def wav2exp_features(
     starts = (80.0 * np.arange(n_frames) / float(hp.fps)).astype(np.int32)
     idx = starts[:, None] + np.arange(hp.mel_step_size)[None, :]
     windows = jnp.transpose(mel[jnp.asarray(idx)], (0, 2, 1))  # [N, 80, 16]
-    out = jax.jit(apply_audio_encoder)(params, windows)
+    out = _apply_jit(params, windows)
     return np.asarray(out)
+
+
+# module-level wrapper: a fresh jax.jit(...) per call would re-trace the
+# encoder on every utterance (same shapes hit this cache after the first)
+_apply_jit = jax.jit(lambda params, windows: apply_audio_encoder(params,
+                                                                 windows))

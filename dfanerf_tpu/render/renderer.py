@@ -703,6 +703,17 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
     buckets = ([0, 128, 192, 256, 320, 384]
                + list(range(416, 1025, 32))
                + [1280, 1536, 2048, 2560, 3072, 4096, T * J])
+    if rcfg.occ_async_refresh:
+        # live mode pads to COARSER rungs: novel driving signals drift the
+        # occupied-pair counts every refresh, and each first-seen
+        # (pairs_h, pairs_t, k_u) class costs the async worker seconds of
+        # host-side tracing — on the one host core that tracing starves
+        # the serving thread's dispatch loop (the round-4 novel-audio
+        # cliff: 5.7 fps vs 32.9 on the cycled window whose classes were
+        # all warm). 64-wide rungs bound the class count at ~1.5 ms of
+        # padding per frame.
+        buckets = ([0] + list(range(128, 1537, 64))
+                   + [2048, 2560, 3072, 4096, T * J])
     tile_buckets = [64, 128, 192, 256, 320, 416, 512, 672, T]
 
     def bucket(c, ladder=buckets):
@@ -818,7 +829,7 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         return full
 
     def prune_flags(tm_h, tm_c, cb_h, cb_t, wr_h=None, wr_t=None, st=None,
-                    base_led=None):
+                    base_led=None, hist=None):
         """Keep-masks [T, J] from one frame's composite diagnostics
         (compacted coordinates, expanded here): drop pairs saturated
         behind opacity (occ_prune_trans, tile-max transmittance) or
@@ -832,13 +843,34 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         fields are dropped greedily (ascending max-ray mass) only while
         every ray's accumulated dropped mass stays under the budget — the
         exact bound the per-pair eps cannot give when several dropped
-        slabs stack on one ray."""
+        slabs stack on one ray.
+
+        ``hist`` (live mode, occ_prune_hist_decay > 0): a dict this call
+        READS and UPDATES in place — per-key running maxima over refresh
+        cycles in FULL tile coordinates. The derivation then uses
+        max(current, decay * history) for the trans transmittances and
+        the budget's per-(pair, ray) costs, so a pair visible on any
+        recent frame keeps its key even when the current snapshot's
+        estimate is ~0 (the round-4 live-error driver: stale color-keyed
+        drops realized 0.034 while flags alone were 10x tighter). The
+        offline per-slot prep passes hist=None (slots are pinned to
+        their own frame; no staleness to guard)."""
         keep_h = np.ones((T, J), bool)
         keep_t = np.ones((T, J), bool)
+        dk = rcfg.occ_prune_hist_decay
+
+        def _histmax(name, full):
+            if hist is None or dk <= 0:
+                return full
+            if name in hist:
+                full = np.maximum(full, hist[name] * dk)
+            hist[name] = full
+            return full
+
         if rcfg.occ_prune_trans > 0:
             eps = rcfg.occ_prune_trans
-            tm_h_f = expand_tiles(tm_h, st)
-            tm_c_f = expand_tiles(tm_c, st)
+            tm_h_f = _histmax("tm_h", expand_tiles(tm_h, st))
+            tm_c_f = _histmax("tm_c", expand_tiles(tm_c, st))
             keep_h &= np.maximum(tm_h_f, tm_c_f) > eps
             keep_t &= tm_c_f > eps
         if budget_on and wr_h is not None:
@@ -846,6 +878,14 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             tiles_u = stc["tiles_u"]
             k_u = len(tiles_u)
             K = np.asarray(wr_h).shape[1]
+            if hist is not None and dk > 0:
+                wr_h = np.asarray(wr_h).copy()
+                wr_t = np.asarray(wr_t).copy()
+                for name, w in (("wr_h", wr_h), ("wr_t", wr_t)):
+                    full = np.zeros((J, T, R_T), np.float32)
+                    full[:, tiles_u] = w[:, :k_u]
+                    full = _histmax(name, full)
+                    w[:, :k_u] = full[:, tiles_u]
             # candidates: occupied pairs that survived the trans prune
             # (trans-dropped pairs sit behind saturated opacity — they are
             # dropped regardless and must not consume budget)
@@ -1324,7 +1364,8 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                     _, tm_h, tm_c, cb_h, cb_t, *wr = run_pipeline(
                         inputs, diag=True, st=st)
                     kh, kt = prune_flags(tm_h, tm_c, cb_h, cb_t, *wr,
-                                         st=st)
+                                         st=st,
+                                         hist=cache.setdefault("hist", {}))
                     keeps, keep_age = (kh, kt), 0
                     occ_np = np.asarray(st["occ"])
                     set_flags(np.stack([occ_np[0] * kh, occ_np[1] * kt]),
@@ -1431,7 +1472,8 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             # frame's own composite (live-serving mode: no lookahead)
             imgs, tm_h, tm_c, cb_h, cb_t, *wr = run_pipeline(inputs,
                                                              diag=True)
-            keep_h, keep_t = prune_flags(tm_h, tm_c, cb_h, cb_t, *wr)
+            keep_h, keep_t = prune_flags(tm_h, tm_c, cb_h, cb_t, *wr,
+                                         hist=cache.setdefault("hist", {}))
             cache["keeps"] = (keep_h, keep_t)
             cache["keep_age"] = 0
             occ_np = np.asarray(cache["occ"])
