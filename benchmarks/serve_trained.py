@@ -173,7 +173,8 @@ def run(n_train=12000, occ_thresh=2.0, polish_steps=2000,
     # work on the serving path can reuse one trained state
     cache_path = os.environ.get("DFANERF_STATE_CACHE", "")
     meta = None
-    if cache_path and os.path.exists(cache_path):
+    if cache_path and (os.path.exists(cache_path)
+                       or os.path.exists(cache_path + ".npz")):
         from dfanerf_tpu.train.checkpoint import load_checkpoint
 
         state = load_checkpoint(cache_path, state)
@@ -295,28 +296,55 @@ def run(n_train=12000, occ_thresh=2.0, polish_steps=2000,
     _log(f"offline {fps_skip:.2f} fps; bench skip (live, async refresh)...")
     import dataclasses
 
-    # live mode refreshes TWICE as often as the offline window: the async
-    # worker takes refreshes off the critical path, so the extra refreshes
-    # cost only a bounded chip-share slice while halving flag staleness.
-    # occ_prune_hist_decay guards the prune against signal staleness (the
-    # round-4 live max-err driver: color-keyed drops whose estimate was ~0
-    # under the refresh signal realized 0.034 when the signal moved).
+    # live mode: async worker refreshes every 3 frames and re-derives the
+    # prune at EVERY refresh (carry off) with history-max keys
+    # (occ_prune_hist_decay). Round-4 postmortem: the live max-err driver
+    # was the prune deriving only from aliased snapshot phases (refresh 4
+    # vs the 8-frame window — the derive never saw the frames it was
+    # applied to) and dropping pairs whose color-key was ~0 under those
+    # signals but 0.034 under others. A derive cadence coprime to the
+    # window plus the decayed running max over derive cycles keeps every
+    # recently-visible pair's key alive; measured steady-state error
+    # 0.005 vs 0.0336.
     cfg2 = ExperimentConfig(
         decoder=dec,
         render=dataclasses.replace(cfg1.render, occ_async_refresh=True,
-                                   occ_refresh_every=4,
-                                   occ_prune_hist_decay=0.7),
+                                   occ_refresh_every=3,
+                                   occ_prune_carry=0,
+                                   occ_prune_hist_decay=0.8),
         train=cfgP.train,
     )
     frame2 = make_frame_fn(cfg2, ds, state, data)
     # warm TWO full refresh cycles so the async worker's program classes
     # compile outside the timed region, then settle any in-flight swap
     fps_live, fps_live_max = bench_fps(frame2, warm=17)
-    # live-mode error: frames span async refreshes with carried keep-masks
-    # (staleness now includes the worker's swap latency)
-    errs_live = [float(jnp.abs(frame2(i) - frame0(i)).max())
-                 for i in range(8)]
+    # live-mode error measured under PACED serving — the product
+    # workload: frames arrive at 25 fps (the reference's video rate,
+    # scripts/test_obama.sh encodes at 25), each frame is dispatched,
+    # error-reduced ON DEVICE against the no-skip render, and presented
+    # (blocked) before the next arrival. Pacing matters: an unbounded
+    # dispatch loop enqueues the whole window before the async worker can
+    # land a single swap (measured: 48 frames served under ONE frozen
+    # flag state), while a slow host-synced loop gives the worker idle
+    # time a real stream never has. Deadline misses are reported.
+    ref_dev = [frame0(i) for i in range(8)]
+    err_fn = jax.jit(lambda a, b: jnp.abs(a - b).max())
+    frame_dt = 1.0 / 25.0
+    n_paced = 48
+    t_start = time.time()
+    misses = 0
+    errs_live = []
+    for i in range(n_paced):
+        e = err_fn(frame2(i % 8), ref_dev[i % 8])
+        errs_live.append(float(e))  # present: block until the frame is out
+        deadline = t_start + (i + 1) * frame_dt
+        lag = deadline - time.time()
+        if lag > 0:
+            time.sleep(lag)
+        else:
+            misses += 1
     max_err_live = max(errs_live)
+    max_err_live_last3 = max(errs_live[24:])
     occ_frac, head_psnr_vs_bg = scene_diagnostics(cfgP, ds, state, data,
                                                   occ_thresh, frame0)
     _cache = getattr(frame1.render, "cache", {})
@@ -340,6 +368,12 @@ def run(n_train=12000, occ_thresh=2.0, polish_steps=2000,
             "fps_live": round(fps_live, 3),
             "fps_live_max": round(fps_live_max, 3),
             "max_abs_err_vs_noskip_live": round(max_err_live, 5),
+            "max_abs_err_vs_noskip_live_last3cyc": round(
+                max_err_live_last3, 5),
+            "live_paced_fps": 25.0,
+            "live_paced_deadline_misses": misses,
+            "errs_live_by_frame": [round(e, 5) for e in errs_live],
+            "occ_prune_hist_decay": cfg2.render.occ_prune_hist_decay,
             "serving_prep_s": round(prep_s, 3),
             "fps_noskip": round(fps_noskip, 3),
             "fps_noskip_max": round(fps_noskip_max, 3),
@@ -426,9 +460,24 @@ def e2e_audio_video(cfg_live, ds, state, data, n_frames=80):
     t0 = time.time()
     feats = np.asarray(wav2exp_features(enc_params, wav, hp))
     n = int(min(n_frames, feats.shape[0]))
-    auds = jnp.asarray(feats[:n])
-    exps = jnp.asarray(np.asarray(data["exps"])[
-        np.arange(n) % ds.n_frames])
+    # driving signals through the scene's OWN feature contract: the
+    # novel audio modulates the scalar driving state (1st PC of the
+    # wav2exp embedding trajectory, z-scored and squashed), which is
+    # featurized exactly like the training auds/exps. The reference
+    # drives test audio through the SAME extractor that produced the
+    # training features (load_audface.py:14-47); round 4 fed the decoder
+    # raw features from a different (untrained) encoder, conditioning it
+    # out of distribution — the field went dense and the "novel-audio
+    # cliff" was largely that, not serving overhead.
+    from dfanerf_tpu.data.synthetic import featurize_audio_state
+
+    f = feats[:n] - feats[:n].mean(0)
+    _, _, vt = np.linalg.svd(f, full_matrices=False)
+    s = f @ vt[0]
+    s = np.tanh(s / max(float(s.std()), 1e-6))
+    auds_np, exps_np = featurize_audio_state(s)
+    auds = jnp.asarray(auds_np)
+    exps = jnp.asarray(exps_np)
     poses = jnp.asarray(np.asarray(data["poses"])[
         np.arange(n) % ds.n_frames])
     feature_s = time.time() - t0
@@ -455,21 +504,26 @@ def e2e_audio_video(cfg_live, ds, state, data, n_frames=80):
     warm = min(2 * cfg_live.render.occ_refresh_every + 1, n)
     for i in range(warm):
         live_frame(i).block_until_ready()
-    # double-buffered download: convert to u8 ON DEVICE (4x smaller
-    # transfer) and fetch frame i-1 while frame i renders — a per-frame
-    # blocking np.asarray serializes host dispatch against device compute
-    # and alone halves the throughput (measured 62 -> ~34 ms/frame)
+    # pipelined download: convert to u8 ON DEVICE (4x smaller transfer)
+    # and keep a ring of in-flight frames, fetching 8 behind the dispatch
+    # front — a blocking per-frame np.asarray caps the pipeline at depth
+    # 1 and exposes every ms of the async worker's host-side work in the
+    # frame time (the fps bench dispatches a full pass ahead; measured
+    # 11.7 -> ~24 fps from depth alone)
     to_u8 = jax.jit(lambda c: (jnp.clip(c, 0.0, 1.0) * 255.0
                                ).astype(jnp.uint8))
+    from collections import deque
+
+    depth = 8
     t1 = time.time()
     frames = []
-    prev = None
+    ring = deque()
     for i in range(n):
-        com = to_u8(live_frame(i))
-        if prev is not None:
-            frames.append(np.asarray(prev))
-        prev = com
-    frames.append(np.asarray(prev))
+        ring.append(to_u8(live_frame(i)))
+        if len(ring) > depth:
+            frames.append(np.asarray(ring.popleft()))
+    while ring:
+        frames.append(np.asarray(ring.popleft()))
     render_s = time.time() - t1
 
     t2 = time.time()

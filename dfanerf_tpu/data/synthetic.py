@@ -96,6 +96,28 @@ def _render_gt_frame(c2w, H, W, focal, audio_state, bc, n_samples, near, far,
     return out.reshape(H, W, 3)
 
 
+def featurize_audio_state(audio_state: np.ndarray):
+    """The synthetic scene's conditioning contract: scalar driving state
+    [N] in ~[-1, 1] -> (auds [N, 512], exps [N, 64]) — deterministic,
+    information-complete wav2exp-style features. This is the scene's
+    analogue of the reference's fixed feature extractor: training and
+    novel-audio driving must BOTH use it (load_audface.py:14-47 drives
+    test audio through the same aud_file pipeline that produced the
+    training features), otherwise the decoder is conditioned on
+    out-of-distribution signals and renders a garbage-dense field."""
+    audio_state = np.asarray(audio_state, np.float32)
+    freqs = np.linspace(0.5, 3.0, 256, dtype=np.float32)
+    auds = np.concatenate(
+        [np.sin(np.outer(audio_state, freqs)),
+         np.cos(np.outer(audio_state, freqs))],
+        axis=1,
+    ).astype(np.float32)  # [N, 512]
+    exps = np.sin(np.outer(audio_state, np.linspace(1.0, 2.0, 64))).astype(
+        np.float32
+    )  # [N, 64]
+    return auds, exps
+
+
 def make_synthetic_dataset(
     n_frames: int = 40,
     H: int = 64,
@@ -111,16 +133,7 @@ def make_synthetic_dataset(
     focal = 1.1 * max(H, W)
     t = np.arange(n_frames, dtype=np.float32)
     audio_state = np.sin(0.5 * t) * np.cos(0.13 * t)  # scalar driving signal
-
-    # deterministic, information-complete synthetic wav2exp-style features
-    freqs = np.linspace(0.5, 3.0, 256, dtype=np.float32)
-    auds = np.concatenate(
-        [np.sin(np.outer(audio_state, freqs)), np.cos(np.outer(audio_state, freqs))],
-        axis=1,
-    ).astype(np.float32)  # [N, 512]
-    exps = np.sin(np.outer(audio_state, np.linspace(1.0, 2.0, 64))).astype(
-        np.float32
-    )  # [N, 64]
+    auds, exps = featurize_audio_state(audio_state)
 
     # orbiting camera with small jitter (head poses); torso uses frame 0
     poses = np.zeros((n_frames, 4, 4), np.float32)

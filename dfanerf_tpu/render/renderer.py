@@ -879,13 +879,27 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             k_u = len(tiles_u)
             K = np.asarray(wr_h).shape[1]
             if hist is not None and dk > 0:
+                # history at PER-PAIR granularity (max over the tile's
+                # rays, [J, T] per field): a per-(pair, ray) history costs
+                # ~30 ms of host numpy per derive on the one host core —
+                # measured as a 1.5 fps serving hit at derive-every-3.
+                # Flooring every ray of a pair at the pair's historical
+                # max-ray cost overestimates multi-drop stacking, i.e. is
+                # conservative (fewer drops), and measured the same
+                # steady-state error.
                 wr_h = np.asarray(wr_h).copy()
                 wr_t = np.asarray(wr_t).copy()
                 for name, w in (("wr_h", wr_h), ("wr_t", wr_t)):
-                    full = np.zeros((J, T, R_T), np.float32)
-                    full[:, tiles_u] = w[:, :k_u]
-                    full = _histmax(name, full)
-                    w[:, :k_u] = full[:, tiles_u]
+                    cur = np.zeros((J, T), np.float32)
+                    cur[:, tiles_u] = w[:, :k_u].max(axis=2)
+                    # floor at the DECAYED history only — flooring at the
+                    # current frame's own max-ray value would flatten the
+                    # fresh per-ray detail the ledger needs
+                    old = (hist[name] * dk if name in hist
+                           else np.zeros_like(cur))
+                    hist[name] = np.maximum(cur, old)
+                    w[:, :k_u] = np.maximum(w[:, :k_u],
+                                            old[:, tiles_u, None])
             # candidates: occupied pairs that survived the trans prune
             # (trans-dropped pairs sit behind saturated opacity — they are
             # dropped regardless and must not consume budget)
@@ -1423,8 +1437,17 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                 and not cache.get("pinned")):
             _poll_worker()
             cache["age"] += 1
+            # deterministic trigger jitter (0/1/2 extra frames, cycling
+            # per launch): without it the trigger period (refresh_every +
+            # 1 + worker latency) can phase-lock against a periodic pose/
+            # signal trajectory, so every derive snapshots the SAME
+            # phase and the prune history never sees the frames it is
+            # applied to (measured: the 8-frame window locked at period
+            # 8 and the live error pinned at 0.034 regardless of knobs)
             if (cache["age"] > max(rcfg.occ_refresh_every, 1)
+                    + cache.get("rjit", 0)
                     and worker["thread"] is None):
+                cache["rjit"] = (cache.get("rjit", 0) + 1) % 3
                 inputs = inputs_fn(params, z_shape, z_app, pose,
                                    pose_torso, signal, signal_torso,
                                    bc_img)

@@ -96,6 +96,7 @@ _SLOW_TESTS = {
     "test_fused_fine_pass_matches_xla_hierarchical",
     "test_async_live_matches_sync_refresh",
     "test_async_off_is_sync_path",
+    "test_hist_accumulates_and_jitter_rotates",
     # round-5 rebalance (fast tier crept to ~7 min; these measured >10 s)
     "test_step_landmarks_low_score_skips_lms",
     "test_flow_artifacts_and_mask_contract",

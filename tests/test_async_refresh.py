@@ -141,3 +141,50 @@ class TestAsyncRefresh:
         render = make_frame_renderer(cfg_sync, ds.hwfcxy, ds.near, ds.far)
         _frames(render, state, data, sig, sig_t, 3)
         assert render.worker["thread"] is None
+
+
+class TestPruneHistory:
+    def test_hist_accumulates_and_jitter_rotates(self, setup, monkeypatch):
+        """With occ_prune_hist_decay > 0 the async worker's budget-prune
+        derives populate cache['hist'] with per-pair running maxima
+        ([J, T] per field, [T, J] for the trans transmittances), and the
+        refresh trigger's deterministic jitter counter cycles so the
+        derive cadence cannot phase-lock against a periodic signal
+        trajectory (renderer.py prune_flags hist / render rjit)."""
+        monkeypatch.setenv("DFANERF_PALLAS_INTERPRET", "1")
+        cfg0, ds, state, data = setup
+        sig = jnp.zeros((cfg0.decoder.dim_signal,))
+        sig_t = jnp.zeros((cfg0.decoder.dim_et_embed,))
+        cfg = _render_cfg(
+            cfg0, n_samples=16, use_fused_kernel=True, spatial_tiles=True,
+            occ_sigma_thresh=0.05, occ_grid_res=16, occ_refresh_every=1,
+            occ_pair_compaction=True, occ_prune_budget=1e-3,
+            occ_prune_trans=0.01, occ_prune_carry=0, ert_eps=0.0,
+            occ_async_refresh=True, occ_prune_hist_decay=0.8,
+        )
+        render = make_frame_renderer(cfg, ds.hwfcxy, ds.near, ds.far)
+        jits = set()
+        # serve frames, joining each worker so every refresh derives
+        for i in range(10):
+            render(
+                state["params"], state["z_shape"], state["z_app"],
+                data["poses"][i % 6], data["poses"][0], sig, sig_t,
+                data["bc_img"],
+            )
+            th = render.worker["thread"]
+            if th is not None:
+                th.join(timeout=120.0)
+            jits.add(render.cache.get("rjit", 0))
+        assert render.worker["error"] is None
+        hist = render.cache.get("hist")
+        assert hist, "no history accumulated by the async derives"
+        T = render.cache["occ"].shape[1]
+        J = render.cache["occ"].shape[2]
+        for k in ("wr_h", "wr_t"):
+            assert hist[k].shape == (J, T)
+            assert (hist[k] >= 0).all() and np.isfinite(hist[k]).all()
+        assert hist["wr_h"].max() > 0  # something was measured
+        for k in ("tm_h", "tm_c"):
+            assert hist[k].shape == (T, J)
+        # the jitter counter cycled through its values
+        assert jits == {0, 1, 2}, f"jitter stuck: {jits}"
