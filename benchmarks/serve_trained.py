@@ -311,7 +311,8 @@ def run(n_train=12000, occ_thresh=2.0, polish_steps=2000,
         render=dataclasses.replace(cfg1.render, occ_async_refresh=True,
                                    occ_refresh_every=3,
                                    occ_prune_carry=0,
-                                   occ_prune_hist_decay=0.8),
+                                   occ_prune_hist_decay=0.8,
+                                   occ_live_keys=True),
         train=cfgP.train,
     )
     frame2 = make_frame_fn(cfg2, ds, state, data)

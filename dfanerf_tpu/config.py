@@ -174,6 +174,24 @@ class RenderConfig:
     # render every (occ_prune_carry + 1)-th refresh. 0 = re-derive at
     # every refresh (no carry). The staleness error is covered by the
     # benchmarks' max-error-vs-noskip discipline across carried windows.
+    occ_live_keys: bool = False  # async live mode: serving frames SELF-
+    # REPORT their prune keys. The fast-path composite additionally emits
+    # per-(tile, slab) per-field reductions — tile-max transmittance at
+    # slab starts and the tile-max color-error (or mass) estimate — a few
+    # extra HBM-bound reductions (~1% of the frame). The async worker
+    # derives the keep-masks from the running max of these keys over the
+    # recent frames (plus the decayed history), so the derive needs NO
+    # diagnostic render at all: the round-4 live worker re-rendered the
+    # snapshot frame at UNPRUNED pair counts (~95 ms of chip) every
+    # derive, which both throttled novel-audio serving and only ever
+    # sampled the snapshot's signal. Self-reported keys come from every
+    # served frame — the exact signals the prune is applied to. Dropped
+    # pairs stop being measured; a full diagnostic re-measure runs every
+    # occ_live_remeasure-th derive to re-examine them, and pairs never
+    # measured at all (newly flagged geometry) are kept by default.
+    occ_live_remeasure: int = 8  # full diagnostic-derive cadence under
+    # occ_live_keys (in derives; the staleness bound on resurrecting a
+    # dropped pair after a scene change). 0 disables the re-measure.
     occ_prune_hist_decay: float = 0.0  # live-mode prune-staleness guard:
     # keep-mask derivation keys (the budget greedy's per-(pair, ray) cost
     # estimates and the trans prune's tile transmittances) are taken as

@@ -1709,6 +1709,7 @@ def deferred_composite(
     s_slab: int = None,
     with_ray_diag: bool = False,
     ray_err_bc: jnp.ndarray = None,
+    with_keys: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """Composite two pair_field_eval buffers — the same per-sample math as
     _render_kernel's in-register march (bg_epilogue mode: the catch-all
@@ -1810,6 +1811,58 @@ def deferred_composite(
     )
     alpha_c = 1.0 - jnp.exp(-(ssum + 1e-6) * d_t)
     acc_com, tl_c, starts_c, w_c = march(alpha_c, c_mix)
+
+    if with_keys:
+        # occ_live_keys fast-path mode: the frame's own per-(tile, slab)
+        # per-field prune keys, [T, J] each — tile-max slab-start
+        # transmittances (the trans prune's input) and the tile-max
+        # first-order color-error estimate of dropping the pair (the
+        # budget prune's input; same math as the with_ray_diag color
+        # branch below, reduced over rays in place — a handful of
+        # HBM-bound [S, n] reductions, ~1% of the frame). Falls back to
+        # raw mass keys when ray_err_bc is None (mass-budget mode).
+        frac_h_k = sig_h / denom
+
+        def slab_sum(x):  # [S, n] -> [J, T, R_T]
+            return x.reshape(J, sp, T, R_T).sum(axis=1)
+
+        def tile_max(x):  # [J, T, R_T] -> [T, J]
+            return x.max(axis=2).T
+
+        m_hs = slab_sum(w_h)
+        m_ch = slab_sum(w_c * frac_h_k)
+        m_ct = slab_sum(w_c * (1.0 - frac_h_k))
+        if ray_err_bc is None:
+            e_h, e_t = m_hs + m_ch, m_ct
+        else:
+            bc_r = ray_err_bc.astype(jnp.float32).T.reshape(3, T, R_T)
+            tlh = tl_h[:, 0].reshape(T, R_T)
+            tlc = tl_c[:, 0].reshape(T, R_T)
+
+            def behind(slab_x, tail):
+                rev = jnp.cumsum(slab_x[::-1], axis=0)[::-1]
+                return jnp.concatenate(
+                    [rev[1:], jnp.zeros_like(rev[:1])]) + tail
+
+            bm_h = behind(m_hs, tlh)
+            bm_c = behind(m_ch + m_ct, tlc)
+            e_h = jnp.zeros_like(m_hs)
+            e_t = jnp.zeros_like(m_ct)
+            for c in range(3):
+                col_hs = slab_sum(w_h * rgb_h[c])
+                col_ch = slab_sum(w_c * frac_h_k * rgb_h[c])
+                col_ct = slab_sum(w_c * (1.0 - frac_h_k) * rgb_t[c])
+                cb_h = behind(col_hs, tlh * bc_r[c]) / jnp.maximum(
+                    bm_h, 1e-8)
+                cb_c = behind(col_ch + col_ct, tlc * bc_r[c]) / jnp.maximum(
+                    bm_c, 1e-8)
+                e_h = jnp.maximum(e_h, jnp.abs(col_hs - m_hs * cb_h))
+                e_h = jnp.maximum(e_h, jnp.abs(col_ch - m_ch * cb_c))
+                e_t = jnp.maximum(e_t, jnp.abs(col_ct - m_ct * cb_c))
+        keys = (tile_max(starts_h.reshape(J, T, R_T)),
+                tile_max(starts_c.reshape(J, T, R_T)),
+                tile_max(e_h), tile_max(e_t))
+        return acc_head, acc_com, tl_h, tl_c, keys
 
     if not with_diagnostics:
         return acc_head, acc_com, tl_h, tl_c

@@ -1161,21 +1161,34 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
 
     finish_cache = {}
 
+    # occ_live_keys: the fast-path composite also emits the frame's own
+    # per-(tile, slab) prune keys (see config.occ_live_keys) — the async
+    # worker then derives keep-masks from served frames instead of
+    # re-rendering the snapshot at unpruned counts
+    live_keys = (rcfg.occ_async_refresh and rcfg.occ_live_keys
+                 and (rcfg.occ_prune_trans > 0 or rcfg.occ_prune_budget > 0))
+
     def make_finish(with_far):
         def body(rd_g, rd_t_g, buf_h, buf_t, occ_sub, rd, rd_t, bc_p,
                  tiles_scatter, far_vals=None):
+            kw = {}
+            if live_keys:
+                kw["with_keys"] = True
+                if rcfg.occ_budget_color:
+                    kw["ray_err_bc"] = bc_p.reshape(T, R_T, 3)[
+                        jnp.clip(tiles_scatter, 0, T - 1)].reshape(-1, 3)
             if rcfg.occ_pack2:
                 # occ_sub is the (A, B) flag-partition pair; the buffers
                 # are (bufs_A, bufs_B) pairs from the packed-2 kernel
                 occ_a, occ_b = occ_sub
-                ah, ac, t_h, t_c = deferred_composite(
+                ah, ac, t_h, t_c, *keys = deferred_composite(
                     buf_h[0], buf_t[0], occ_a, rd_g, rd_t_g, z_vals_c,
                     with_diagnostics=False, buf_h2=buf_h[1],
-                    buf_t2=buf_t[1], occ2=occ_b, s_slab=sp)
+                    buf_t2=buf_t[1], occ2=occ_b, s_slab=sp, **kw)
             else:
-                ah, ac, t_h, t_c = deferred_composite(
+                ah, ac, t_h, t_c, *keys = deferred_composite(
                     buf_h, buf_t, occ_sub, rd_g, rd_t_g, z_vals_c,
-                    with_diagnostics=False)
+                    with_diagnostics=False, **kw)
             n = T * R_T
 
             def scatter(x, fill):
@@ -1196,7 +1209,8 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                 bc = bc_p.astype(jnp.float32)
                 head = scatter(ah, 0.0) + scatter(t_h, 1.0) * bc
                 com = scatter(ac, 0.0) + scatter(t_c, 1.0) * bc
-            return unpermute(head, com)
+            out = unpermute(head, com)
+            return (*out, keys[0]) if live_keys else out
 
         if with_far:
             @jax.jit
@@ -1264,6 +1278,7 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
     # function concurrently is fine — JAX dispatch/compilation is
     # thread-safe; the lock only guards the dict bookkeeping.
     import threading as _threading
+    from collections import deque as _deque
 
     _cache_lock = _threading.Lock()
 
@@ -1278,6 +1293,14 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         st = st if st is not None else cache
         out = _run_fast_inner(params, z_shape, z_app, pose, pose_torso,
                               signal, signal_torso, bc_img, st)
+        if live_keys:
+            # stash the frame's self-reported prune keys (device arrays,
+            # fetched by the async worker off the serving thread) with
+            # the tile map that positions them in full coordinates
+            out, keys = out[:2], out[2]
+            with _cache_lock:
+                kf = cache.setdefault("key_frames", _deque(maxlen=12))
+                kf.append((keys, st["tiles_u"]))
         # mark the program class as executed only AFTER the dispatch
         # returned (jit compiles synchronously at the first call, so
         # reaching here means the compile succeeded) — marking at entry
@@ -1357,6 +1380,57 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         return (int(lists[0][0].shape[0]), int(lists[1][0].shape[0]),
                 k_u, bool(st.get("far_skip", False)))
 
+    def _derive_keeps_from_keys(occ_np):
+        """occ_live_keys derive: keep-masks from the running max of the
+        prune keys the RECENT SERVED FRAMES self-reported (fast-path
+        composite with_keys) plus the decayed history — no diagnostic
+        render. Pairs the window never evaluated fall back to history;
+        pairs never measured at all (new geometry) are kept. Returns
+        (keep_h, keep_t) or None when no key frames exist yet."""
+        with _cache_lock:
+            frames = list(cache.get("key_frames", ()))
+        if not frames:
+            return None
+        agg = [np.zeros((T, J), np.float32) for _ in range(4)]
+        for keys_dev, tiles_u_f in frames:
+            k_f = len(tiles_u_f)
+            for a, x in zip(agg, keys_dev):
+                # fancy indexing yields a copy — assign the max back
+                a[tiles_u_f] = np.maximum(a[tiles_u_f],
+                                          np.asarray(x)[:k_f])
+        dk = max(rcfg.occ_prune_hist_decay, 0.0)
+        hist = cache.setdefault("hist", {})
+        for name, a in zip(("ktm_h", "ktm_c", "ke_h", "ke_t"), agg):
+            if dk > 0 and name in hist:
+                np.maximum(a, hist[name] * dk, out=a)
+            hist[name] = a
+        tm_h_k, tm_c_k, e_h_k, e_t_k = agg
+        keep_h = np.ones((T, J), bool)
+        keep_t = np.ones((T, J), bool)
+        if rcfg.occ_prune_trans > 0:
+            eps = rcfg.occ_prune_trans
+            keep_h &= np.maximum(tm_h_k, tm_c_k) > eps
+            keep_t &= tm_c_k > eps
+        if budget_on:
+            cand = occ_np.astype(bool).copy()
+            cand[0] &= keep_h
+            cand[1] &= keep_t
+            # never-measured pairs (new geometry) are not candidates
+            em = cache.get("ever_measured")
+            if em is not None:
+                cand &= em
+            # per-pair greedy: every ray floored at the pair's max-ray
+            # key, so the per-ray ledger reduces to the per-tile summed
+            # key (budget_drop_masks with R=1) — coarser than the full
+            # per-ray ledger (fewer drops), measured equivalent error
+            drop = budget_drop_masks(
+                e_h_k.T[:, :, None].astype(np.float32),
+                e_t_k.T[:, :, None].astype(np.float32),
+                cand, rcfg.occ_prune_budget)  # [2, T, J]
+            keep_h &= ~drop[0]
+            keep_t &= ~drop[1]
+        return keep_h, keep_t
+
     def _refresh_async(inputs, keeps, keep_age, raw_args):
         try:
             st = {}
@@ -1375,15 +1449,37 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                 set_flags(occ, tag="async", into=st)
                 update_far_skip([inputs], into=st)
                 if prune_on:
-                    _, tm_h, tm_c, cb_h, cb_t, *wr = run_pipeline(
-                        inputs, diag=True, st=st)
-                    kh, kt = prune_flags(tm_h, tm_c, cb_h, cb_t, *wr,
-                                         st=st,
-                                         hist=cache.setdefault("hist", {}))
-                    keeps, keep_age = (kh, kt), 0
+                    kk = None
                     occ_np = np.asarray(st["occ"])
-                    set_flags(np.stack([occ_np[0] * kh, occ_np[1] * kt]),
-                              tag="pruned-async", into=st)
+                    if live_keys:
+                        n_der = cache.get("derive_ct", 0)
+                        cache["derive_ct"] = n_der + 1
+                        rm = rcfg.occ_live_remeasure
+                        if rm <= 0 or n_der % rm != 0:
+                            kk = _derive_keeps_from_keys(occ_np)
+                    if kk is None:
+                        # full diagnostic derive: render the snapshot at
+                        # unpruned counts and measure every pair (the
+                        # occ_live_keys re-measure / non-keys path)
+                        _, tm_h, tm_c, cb_h, cb_t, *wr = run_pipeline(
+                            inputs, diag=True, st=st)
+                        kh, kt = prune_flags(
+                            tm_h, tm_c, cb_h, cb_t, *wr, st=st,
+                            hist=cache.setdefault("hist", {}))
+                        em = cache.get("ever_measured")
+                        if em is None:
+                            em = np.zeros_like(occ_np, bool)
+                        cache["ever_measured"] = em | (occ_np > 0)
+                    else:
+                        kh, kt = kk
+                    keeps, keep_age = (kh, kt), 0
+                    pruned = np.stack([occ_np[0] * kh, occ_np[1] * kt])
+                    if live_keys:
+                        em = cache.get("ever_measured")
+                        if em is None:
+                            em = np.zeros_like(occ_np, bool)
+                        cache["ever_measured"] = em | (pruned > 0)
+                    set_flags(pruned, tag="pruned-async", into=st)
             # first-seen pair-count COMPILES happen here, off the stream:
             # building the jit wrappers is not enough (compilation fires
             # at the first call), so a genuinely new program class renders

@@ -97,6 +97,7 @@ _SLOW_TESTS = {
     "test_async_live_matches_sync_refresh",
     "test_async_off_is_sync_path",
     "test_hist_accumulates_and_jitter_rotates",
+    "test_live_keys_derive_matches_noskip",
     # round-5 rebalance (fast tier crept to ~7 min; these measured >10 s)
     "test_step_landmarks_low_score_skips_lms",
     "test_flow_artifacts_and_mask_contract",

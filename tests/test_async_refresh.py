@@ -188,3 +188,53 @@ class TestPruneHistory:
             assert hist[k].shape == (T, J)
         # the jitter counter cycled through its values
         assert jits == {0, 1, 2}, f"jitter stuck: {jits}"
+
+
+class TestLiveKeys:
+    def test_live_keys_derive_matches_noskip(self, setup, monkeypatch):
+        """occ_live_keys: serving frames self-report prune keys, the
+        async worker derives keep-masks from their running max with NO
+        diagnostic render (renderer.py _derive_keeps_from_keys), and the
+        served frames stay within the skip-lever error bound."""
+        monkeypatch.setenv("DFANERF_PALLAS_INTERPRET", "1")
+        cfg0, ds, state, data = setup
+        sig = jnp.zeros((cfg0.decoder.dim_signal,))
+        sig_t = jnp.zeros((cfg0.decoder.dim_et_embed,))
+        cfg_noskip = _render_cfg(cfg0, n_samples=16, use_fused_kernel=True,
+                                 spatial_tiles=True, ert_eps=0.0)
+        ref = make_frame_renderer(cfg_noskip, ds.hwfcxy, ds.near, ds.far)
+        ref_out = _frames(ref, state, data, sig, sig_t, 6)
+
+        cfg = _render_cfg(
+            cfg0, n_samples=16, use_fused_kernel=True, spatial_tiles=True,
+            occ_sigma_thresh=0.05, occ_grid_res=16, occ_refresh_every=1,
+            occ_pair_compaction=True, occ_prune_budget=1e-3,
+            occ_budget_color=True, occ_prune_trans=0.01, occ_prune_carry=0,
+            ert_eps=0.0, occ_async_refresh=True, occ_prune_hist_decay=0.8,
+            occ_live_keys=True, occ_live_remeasure=3,
+        )
+        render = make_frame_renderer(cfg, ds.hwfcxy, ds.near, ds.far)
+        outs = []
+        keys_derives = 0
+        for i in range(12):
+            h, c = render(
+                state["params"], state["z_shape"], state["z_app"],
+                data["poses"][i % 6], data["poses"][0], sig, sig_t,
+                data["bc_img"],
+            )
+            outs.append(np.asarray(c))
+            th = render.worker["thread"]
+            if th is not None:
+                th.join(timeout=180.0)
+        assert render.worker["error"] is None
+        # keys were stashed by served frames and a keys-derive ran
+        # (derive_ct advanced past the remeasure-0 full derive)
+        assert len(render.cache.get("key_frames", ())) > 0
+        assert render.cache.get("derive_ct", 0) >= 2
+        assert render.cache.get("ever_measured") is not None
+        hist = render.cache.get("hist", {})
+        assert any(k in hist for k in ("ke_h", "ke_t"))
+        for j, o in enumerate(outs):
+            assert np.isfinite(o).all()
+            err = np.abs(o - ref_out[j % 6]).max()
+            assert err < 0.05, f"frame {j}: live-keys error {err}"
