@@ -45,7 +45,17 @@ def main(n_seeds=5, n_steps=2500):
                                 eval_from=0.4, seed=seed + 100)
             r["substituted_for_dead_seed"] = seed
         runs.append(r)
+        # incremental checkpoint: a partial artifact (n completed seeds so
+        # far) survives a wall-clock cutoff; the final write replaces it
+        _write(_summarize(runs, n_steps, partial=len(runs) < n_seeds))
 
+    out = _summarize(runs, n_steps)
+    _write(out)
+    print(json.dumps({k: out[k] for k in
+                      ("n_seeds", "delta_com_db", "delta_head_db")}))
+
+
+def _summarize(runs, n_steps, partial=False):
     def stats(key_t, key_j):
         d = np.array([r[key_t] - r[key_j] for r in runs], np.float64)
         n = len(d)
@@ -59,7 +69,7 @@ def main(n_seeds=5, n_steps=2500):
                           round(float(mean + half), 3)])
 
     out = {
-        "n_seeds": n_seeds,
+        "n_seeds": len(runs),
         "n_steps": n_steps,
         "protocol": "paired seeds; torch - jax (negative = jax ahead); "
                     "trailing-window val PSNR means per run",
@@ -75,15 +85,20 @@ def main(n_seeds=5, n_steps=2500):
             for r in runs
         ],
     }
+    if partial:
+        out["partial"] = True
+    return out
+
+
+def _write(out):
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "results"), exist_ok=True)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "results", "psnr_parity_multi.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({k: out[k] for k in
-                      ("n_seeds", "delta_com_db", "delta_head_db")}))
-    print(f"[multi] wrote {path}", file=sys.stderr)
+    print(f"[multi] wrote {path} (n={out['n_seeds']}"
+          f"{', partial' if out.get('partial') else ''})", file=sys.stderr)
 
 
 if __name__ == "__main__":
