@@ -505,6 +505,17 @@ def e2e_audio_video(cfg_live, ds, state, data, n_frames=80):
     warm = min(2 * cfg_live.render.occ_refresh_every + 1, n)
     for i in range(warm):
         live_frame(i).block_until_ready()
+    # server-start headroom class (see renderer.precompile_headroom):
+    # with occ_class_clamp every later refresh whose drifted pair counts
+    # lack an executed class lands on this one instead of tracing a new
+    # program mid-stream — the timed region below never loses the single
+    # host core to jit tracing
+    t_h = time.time()
+    sig_w, sig_t_w = sig_fn(state["params"], jnp.int32(warm % n))
+    render.precompile_headroom(
+        state["params"], state["z_shape"], state["z_app"],
+        poses[warm % n], poses[0], sig_w, sig_t_w, data["bc_img"])
+    headroom_s = time.time() - t_h
     # pipelined download: convert to u8 ON DEVICE (4x smaller transfer)
     # and keep a ring of in-flight frames, fetching 8 behind the dispatch
     # front — a blocking per-frame np.asarray caps the pipeline at depth
@@ -540,6 +551,7 @@ def e2e_audio_video(cfg_live, ds, state, data, n_frames=80):
     return {
         "fps_e2e": round(n / total, 3),
         "n_frames": n,
+        "headroom_s": round(headroom_s, 3),
         "feature_warm_s": round(feature_warm_s, 3),
         "feature_s": round(feature_s, 3),
         "render_s": round(render_s, 3),
@@ -550,25 +562,27 @@ def e2e_audio_video(cfg_live, ds, state, data, n_frames=80):
 
 
 def hierarchical_fps(ds, state, data, occ_thresh,
-                     dec=DecoderConfig(density_activation="softplus")):
+                     dec=DecoderConfig(density_activation="softplus"),
+                     skip_kw=None):
     """BASELINE config 2 measured on the trained state: 450p head-only
     coarse+fine (64+128) through the fused sigma + per-ray-z kernels, with
     and without occupancy/ERT. dec must match the training decoder config
-    (density activation changes how sigma is read)."""
+    (density activation changes how sigma is read). skip_kw overrides
+    RenderConfig fields on the SKIP config only (probe_hier sweeps)."""
     from dfanerf_tpu.render.renderer import make_head_hierarchical_renderer
 
     def make(thresh, ert, pairs=False):
-        cfg = ExperimentConfig(
-            decoder=dec,
-            render=RenderConfig(
-                n_samples=64, n_importance=128, compute_dtype="bfloat16",
-                use_fused_kernel=True, ert_eps=ert,
-                occ_sigma_thresh=thresh, occ_grid_res=48,
-                occ_pair_compaction=pairs,
-                occ_refresh_every=4 if pairs else 1,
-                occ_prune_contrib=3e-3 if pairs else 0.0,
-            ),
+        kw = dict(
+            n_samples=64, n_importance=128, compute_dtype="bfloat16",
+            use_fused_kernel=True, ert_eps=ert,
+            occ_sigma_thresh=thresh, occ_grid_res=48,
+            occ_pair_compaction=pairs,
+            occ_refresh_every=4 if pairs else 1,
+            occ_prune_contrib=3e-3 if pairs else 0.0,
         )
+        if pairs and skip_kw:
+            kw.update(skip_kw)
+        cfg = ExperimentConfig(decoder=dec, render=RenderConfig(**kw))
         render = make_head_hierarchical_renderer(cfg, ds.hwfcxy, ds.near,
                                                  ds.far)
         frame = make_frame_fn(cfg, ds, state, data)

@@ -214,6 +214,23 @@ class RenderConfig:
     # (~1 extra window) and is covered by the benchmarks'
     # max-error-vs-noskip discipline. Live mode only — pinned
     # refresh_union windows never refresh.
+    occ_class_clamp: bool = True  # async live mode: when a refresh lands
+    # on a program class (pair-count rungs x tile bucket x far_skip) that
+    # has NOT been executed yet, pad the pair lists / tile selection UP to
+    # the cheapest already-executed class that dominates it instead of
+    # compiling a new program. Padding pairs hit the dummy tile row and
+    # padded tiles are flag-masked, so the output is bit-identical to the
+    # unclamped class; the cost is the padding's kernel time (~23 us per
+    # padded 8-sample pair). The win: on NOVEL driving signals the
+    # occupied-pair counts drift every refresh, and each first-seen class
+    # costs the async worker seconds of host-side jit TRACING — on the
+    # one host core that starves the serving thread's dispatch loop even
+    # though the XLA compile itself is off-process (the round-4
+    # novel-audio cliff's residual after 64-wide rungs). A far_skip=True
+    # state may clamp onto a with-far class (the program then computes
+    # the catch-all the state could have elided — exact, slightly
+    # slower); the reverse is never allowed. States with no dominating
+    # executed class compile as before, off the stream.
     occ_pack2: bool = False  # pair-compaction at HALF-slab (4-sample)
     # granularity with TWO pairs packed per kernel grid step
     # (ops/fused_render.py pair2_field_eval_prepped): the finer flags

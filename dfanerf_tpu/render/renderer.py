@@ -721,7 +721,13 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
 
     cache = {"age": 0, "lists": None, "occ": None}
 
-    def set_flags(occ, tag="flags", into=None):
+    def set_flags(occ, tag="flags", into=None, min_tiles=0,
+                  min_pairs=(0, 0)):
+        """min_tiles / min_pairs (per field, in the active list's units —
+        A-list length under occ_pack2, full pair count otherwise) force
+        the padding buckets up to at least those rungs: the class-clamp
+        path uses them to land a refresh on an already-executed program
+        class (see config.occ_class_clamp)."""
         st = cache if into is None else into
         occ_np = np.asarray(occ)
         if os.environ.get("DFANERF_DEBUG_COMPACTION"):
@@ -729,7 +735,7 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                   f"torso={int(occ_np[1].sum())}", flush=True)
         # union-occupied tiles, compacted and bucketed
         tiles_u = np.nonzero(occ_np.max(axis=(0, 2)))[0]
-        k_u = bucket(len(tiles_u), tile_buckets)
+        k_u = bucket(max(len(tiles_u), min_tiles), tile_buckets)
         tiles_pad = np.concatenate(
             [tiles_u, np.zeros(k_u - len(tiles_u))]).astype(np.int32)
         pos_of = np.full(T + 1, k_u, np.int32)  # full tile -> compact pos
@@ -758,7 +764,7 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                 tB, jB = t_i[1::2], j_i[1::2]
                 occ_a[f][tA, jA] = occ_sub[f][tA, jA]
                 occ_b[f][tB, jB] = occ_sub[f][tB, jB]
-                kb = bucket(len(tA))
+                kb = bucket(max(len(tA), min_pairs[f]))
                 def _pad(t, j, kb=kb):
                     return (
                         np.concatenate(
@@ -770,7 +776,9 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                 tB, jB = _pad(tB, jB)
                 lists2.append(tuple(
                     jnp.asarray(x) for x in (tA, jA, tB, jB)))
-            pad = bucket(len(t_i)) - len(t_i)
+            pad = bucket(max(
+                len(t_i), 0 if rcfg.occ_pack2 else min_pairs[f],
+            )) - len(t_i)
             t_i = np.concatenate([t_i, np.full(pad, k_u)]).astype(np.int32)
             j_i = np.concatenate([j_i, np.zeros(pad)]).astype(np.int32)
             lists.append((jnp.asarray(t_i), jnp.asarray(j_i)))
@@ -1431,6 +1439,42 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
             keep_t &= ~drop[1]
         return keep_h, keep_t
 
+    def _clamp_to_executed(st):
+        """config.occ_class_clamp: if the freshly-built state's program
+        class was never executed, re-pad it onto the cheapest EXECUTED
+        class that dominates it (more padding pairs / tiles, never
+        fewer; a far_skip state may land on a with-far class). Output is
+        bit-identical — padded pairs hit the dummy tile row and padded
+        tiles are flag-masked — so the only cost is padding kernel time,
+        and the worker never traces a new program mid-stream."""
+        ck = _ck_of(st)
+        with _cache_lock:
+            execd = list(executed_cks)
+        if ck in execd:
+            return
+        fs = bool(st.get("far_skip", False))
+        cands = [e for e in execd
+                 if e[0] >= ck[0] and e[1] >= ck[1] and e[2] >= ck[2]
+                 and (not e[3] or fs)]
+        if not cands:
+            return
+        # padding cost: ~1 kernel grid step per padded pair; a padded
+        # tile adds R_T rays through prep + composite (~2 pairs' worth)
+        e = min(cands, key=lambda c: (c[0] - ck[0]) + (c[1] - ck[1])
+                + 2 * (c[2] - ck[2]))
+        st2 = {}
+        set_flags(np.asarray(st["occ"]), tag="clamped-async", into=st2,
+                  min_tiles=e[2], min_pairs=(e[0], e[1]))
+        st2["far_skip"] = bool(e[3])
+        if "far_cmix_err" in st:
+            st2["far_cmix_err"] = st["far_cmix_err"]
+        if _ck_of(st2) == e:
+            st.clear()
+            st.update(st2)
+        elif os.environ.get("DFANERF_DEBUG_COMPACTION"):
+            print(f"[pairs:clamp] rebuild missed {e} (got {_ck_of(st2)});"
+                  f" keeping {ck}", flush=True)
+
     def _refresh_async(inputs, keeps, keep_age, raw_args):
         try:
             st = {}
@@ -1480,6 +1524,8 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                             em = np.zeros_like(occ_np, bool)
                         cache["ever_measured"] = em | (pruned > 0)
                     set_flags(pruned, tag="pruned-async", into=st)
+            if rcfg.occ_class_clamp:
+                _clamp_to_executed(st)
             # first-seen pair-count COMPILES happen here, off the stream:
             # building the jit wrappers is not enough (compilation fires
             # at the first call), so a genuinely new program class renders
@@ -1628,11 +1674,40 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
                            lambda: make_finish(not far_skip))
         return prep, kern2, fin
 
+    def precompile_headroom(params, z_shape, z_app, pose, pose_torso,
+                            signal, signal_torso, bc_img,
+                            scale=1.4, scale_tiles=1.2):
+        """Server-start cost: build AND execute one 'headroom' program
+        class whose rungs dominate the current state's by the given
+        scales (far_skip=False, so it can serve any far state). With
+        occ_class_clamp, later refreshes whose drifted pair counts have
+        no executed class land here instead of tracing a new program
+        mid-stream — the steady-state serving loop then never loses the
+        host core to jit tracing (the residual novel-audio cliff).
+        Returns the executed class, or None before the first refresh."""
+        if cache.get("lists") is None:
+            return None
+        ck = _ck_of(cache)
+        mh = bucket(min(int(np.ceil(ck[0] * scale)), T * J))
+        mt_p = bucket(min(int(np.ceil(ck[1] * scale)), T * J))
+        mk = bucket(min(int(np.ceil(ck[2] * scale_tiles)), T),
+                    tile_buckets)
+        st = {}
+        set_flags(np.asarray(cache["occ"]), tag="headroom", into=st,
+                  min_tiles=mk, min_pairs=(mh, mt_p))
+        st["far_skip"] = False
+        fast_parts(st)
+        jax.block_until_ready(run_fast(
+            params, z_shape, z_app, pose, pose_torso, signal,
+            signal_torso, bc_img, st=st))
+        return _ck_of(st)
+
     render.inputs_fn = inputs_fn
     render.refresh_union = refresh_union
     render.cache = cache
     render.fast_parts = fast_parts
     render.worker = worker  # async-refresh state (tests/diagnostics)
+    render.precompile_headroom = precompile_headroom
     return render
 
 

@@ -49,6 +49,7 @@ import pytest  # noqa: E402
 _SLOW_TESTS = {
     "test_step_landmarks_dense_contract",
     "test_pack2_matches_noskip",
+    "test_clamp_lands_on_executed_class",
     "test_flow_on_crops_contract",
     "test_pair_compacted_matches_predicated_fused",
     "test_refresh_carry_staleness_bounded",

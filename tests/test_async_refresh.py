@@ -190,6 +190,74 @@ class TestPruneHistory:
         assert jits == {0, 1, 2}, f"jitter stuck: {jits}"
 
 
+class TestClassClamp:
+    def test_clamp_lands_on_executed_class(self, setup, monkeypatch):
+        """occ_class_clamp: after precompile_headroom builds a dominating
+        executed class, async refreshes whose drifted pair counts have no
+        executed class of their own re-pad onto an executed one instead
+        of compiling a new program (renderer.py _clamp_to_executed), and
+        the padded state's frames stay within the skip-lever bound."""
+        monkeypatch.setenv("DFANERF_PALLAS_INTERPRET", "1")
+        cfg0, ds, state, data = setup
+        sig = jnp.zeros((cfg0.decoder.dim_signal,))
+        sig_t = jnp.zeros((cfg0.decoder.dim_et_embed,))
+        cfg_noskip = _render_cfg(cfg0, n_samples=16, use_fused_kernel=True,
+                                 spatial_tiles=True, ert_eps=0.0)
+        ref = make_frame_renderer(cfg_noskip, ds.hwfcxy, ds.near, ds.far)
+        cfg = _render_cfg(
+            cfg0, n_samples=16, use_fused_kernel=True, spatial_tiles=True,
+            occ_sigma_thresh=0.05, occ_grid_res=16, occ_refresh_every=1,
+            occ_pair_compaction=True, occ_prune_budget=1e-3,
+            occ_prune_trans=0.01, occ_prune_carry=0, ert_eps=0.0,
+            occ_async_refresh=True, occ_class_clamp=True,
+        )
+        render = make_frame_renderer(cfg, ds.hwfcxy, ds.near, ds.far)
+        _frames(render, state, data, sig, sig_t, 3)
+        th = render.worker["thread"]
+        if th is not None:
+            th.join(timeout=120.0)
+        hr = render.precompile_headroom(
+            state["params"], state["z_shape"], state["z_app"],
+            data["poses"][0], data["poses"][0], sig, sig_t,
+            data["bc_img"])
+        assert hr is not None and hr[3] is False
+
+        def ck_of_cache():
+            c = render.cache
+            lists = (c["lists2"] if cfg.render.occ_pack2 else c["lists"])
+            return (int(lists[0][0].shape[0]), int(lists[1][0].shape[0]),
+                    int(c["tiles_sel"].shape[0]),
+                    bool(c.get("far_skip", False)))
+
+        executed = {ck_of_cache(), hr}
+        # drive with a different signal so the occupied-pair counts move;
+        # every landed refresh must still be an executed class
+        sig2 = 0.5 * jnp.ones((cfg0.decoder.dim_signal,))
+        outs = []
+        for i in range(8):
+            h, c = render(
+                state["params"], state["z_shape"], state["z_app"],
+                data["poses"][i % 6], data["poses"][0], sig2, sig_t,
+                data["bc_img"],
+            )
+            outs.append(np.asarray(c))
+            th = render.worker["thread"]
+            if th is not None:
+                th.join(timeout=120.0)
+            ck = ck_of_cache()
+            assert (ck in executed
+                    or ck[0] > hr[0] or ck[1] > hr[1] or ck[2] > hr[2]), (
+                f"refresh landed on unexecuted, clampable class {ck} "
+                f"(executed: {executed})")
+            executed.add(ck)  # a genuinely-bigger class compiles + runs
+        assert render.worker["error"] is None
+        ref_out = _frames(ref, state, data, sig2, sig_t, 6)
+        for j, o in enumerate(outs[2:]):
+            assert np.isfinite(o).all()
+            err = np.abs(o - ref_out[(j + 2) % 6]).max()
+            assert err < 0.05, f"frame {j + 2}: clamped-class error {err}"
+
+
 class TestLiveKeys:
     def test_live_keys_derive_matches_noskip(self, setup, monkeypatch):
         """occ_live_keys: serving frames self-report prune keys, the
