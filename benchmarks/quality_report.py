@@ -209,10 +209,15 @@ def oracle_overlay(n_steps=200, R=128, S=8, lr=5e-4):
     }
 
 
-def convergence_curve(n_steps=4000, every=250, H=256):
+def convergence_curve(n_steps=4000, every=250, H=256, grad_clip=0.0):
     """Val-PSNR curve + dip diagnosis: per-step loss/grad traces localize
     any transient regression (the round-2 curve had an 11 dB dip at step
-    3500 with no instrumentation to explain it)."""
+    3500 with no instrumentation to explain it).
+
+    grad_clip > 0 enables the opt-in global-norm clip (TrainConfig.
+    grad_clip) — used to demonstrate that the diagnosed heavy-tailed
+    gradient spikes, not a schedule gate, cause the transient dips:
+    with the spikes clipped the curve should be dip-free."""
     import numpy as np
 
     import jax
@@ -233,7 +238,7 @@ def convergence_curve(n_steps=4000, every=250, H=256):
             n_samples=64, use_fused_kernel=on_tpu,
             compute_dtype="bfloat16" if on_tpu else "float32",
         ),
-        train=TrainConfig(n_rand=2048),
+        train=TrainConfig(n_rand=2048, grad_clip=grad_clip),
     )
     ds = make_synthetic_dataset(n_frames=16, H=H, W=H, n_samples_gt=64)
     state = init_train_state(jax.random.PRNGKey(0), cfg)

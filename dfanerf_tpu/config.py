@@ -289,6 +289,14 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
+    grad_clip: float = 0.0  # global-norm gradient clip (0 = off, the
+    # reference's torch Adam never clips: run_nerf_com_trainExpLater.py
+    # :916-931). The convergence diagnostics (QUALITY.md) measured
+    # transient 8-11 dB val-PSNR dips caused by single-batch gradients
+    # 1000-4000x the window median (heavy-tailed ray-sampling noise, not
+    # a schedule gate); clipping at ~10x the steady-state norm removes
+    # the dips without touching ordinary steps. Off by default to keep
+    # the shipped recipe bit-identical to the reference.
     distortion_lambda: float = 0.0  # opt-in serving-oriented regularizer:
     # mip-NeRF-360-style distortion loss on BOTH stacks' compositing
     # weights over the training rays (catch-all bg sample included at the

@@ -365,6 +365,13 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
         )(state["params"], state, data, img_i, coords, z_vals, use_smo,
           k_sparse, dist_on)
 
+        grad_norm = jnp.sqrt(sum(
+            jnp.sum(g * g) for g in jax.tree.leaves(grads)
+        ))
+        if tcfg.grad_clip > 0.0:
+            scale = jnp.minimum(1.0, tcfg.grad_clip / (grad_norm + 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+
         lr = exp_decay_lr(step, tcfg.lrate, tcfg.lrate_decay)
         gates = {"always": jnp.int32(1), "smo": use_smo.astype(jnp.int32),
                  "exp": use_exp.astype(jnp.int32)}
@@ -400,11 +407,10 @@ def make_train_step(cfg: ExperimentConfig, ds: FrameDataset,
             # observability for convergence diagnostics (QUALITY.md): which
             # frame the batch came from and how large the update was —
             # transient val-PSNR dips correlate with outlier gradient
-            # steps, and these two fields localize them for free
+            # steps, and these two fields localize them for free.
+            # PRE-clip norm, so spikes stay visible when grad_clip is on.
             "img_i": img_i,
-            "grad_norm": jnp.sqrt(sum(
-                jnp.sum(g * g) for g in jax.tree.leaves(grads)
-            )),
+            "grad_norm": grad_norm,
         }
         return new_state, metrics
 

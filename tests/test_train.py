@@ -40,6 +40,40 @@ class TestTrainStep:
         assert last < 0.6 * first, f"no convergence: {first:.4f} -> {last:.4f}"
         assert np.isfinite(losses).all()
 
+    def test_grad_clip(self, tiny_setup):
+        # grad_clip=0 (shipped default, matches the torch reference which
+        # never clips) must be bit-identical to a huge clip that never
+        # fires; a tiny clip must shrink the realized update and report
+        # the PRE-clip norm in metrics so spike diagnostics stay visible.
+        cfg, ds, state, data, _ = tiny_setup
+        key = jax.random.PRNGKey(7)
+
+        def one(clip):
+            c = ExperimentConfig(
+                train=TrainConfig(n_rand=256, lrate=5e-4, grad_clip=clip),
+                render=RenderConfig(n_samples=16),
+            )
+            st = init_train_state(jax.random.PRNGKey(0), c)
+            new, m = make_train_step(c, ds)(st, data, key)
+            delta = jnp.sqrt(sum(
+                jnp.sum((a - b) ** 2) for a, b in zip(
+                    jax.tree.leaves(new["params"]),
+                    jax.tree.leaves(st["params"]))))
+            return new, m, float(delta)
+
+        s_off, m_off, d_off = one(0.0)
+        s_big, m_big, d_big = one(1e9)
+        for a, b in zip(jax.tree.leaves(s_off["params"]),
+                        jax.tree.leaves(s_big["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # pre-clip norm identical regardless of clip setting
+        assert float(m_off["grad_norm"]) == float(m_big["grad_norm"])
+        tiny = 1e-3 * float(m_off["grad_norm"])
+        s_tiny, m_tiny, d_tiny = one(tiny)
+        assert float(m_tiny["grad_norm"]) == pytest.approx(
+            float(m_off["grad_norm"]), rel=1e-6)
+        assert d_tiny < d_off
+
     def test_staged_gating(self, tiny_setup):
         cfg, ds, state, data, step = tiny_setup
         # before nosmo_iters/noexp_iters the attention and expression nets
