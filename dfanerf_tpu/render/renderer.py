@@ -1564,6 +1564,10 @@ def _make_pair_compaction_renderer(cfg, rcfg, perm, z_vals_c, frame_inputs,
         cache["keeps"] = keeps
         cache["keep_age"] = keep_age
         cache["age"] = 1
+        # observability: landed-swap count (benchmarks read render.cache
+        # to verify the async worker isn't starved — a frozen swap count
+        # across a serving window means every frame served stale flags)
+        cache["swaps"] = cache.get("swaps", 0) + 1
 
     def render(params, z_shape, z_app, pose, pose_torso, signal,
                signal_torso, bc_img, window_slot=None):
